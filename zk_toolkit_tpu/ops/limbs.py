@@ -1,0 +1,327 @@
+"""Batched multi-precision modular arithmetic on TPU: 16-bit limbs in uint32
+lanes, Montgomery form.
+
+This is the device-tier replacement for the reference's BigUint arithmetic
+(reference: field/prime_field_elem.rs `plus/minus/times` :278-308, `pow`
+:311-328, `safe_inv` :379-432) and the base layer under every curve/pairing
+kernel — the TPU-native equivalent of the mcl C++ backend's Montgomery Fr/Fq
+(reference: mcl/mcl_fr.rs:17-382).
+
+Design (TPU rationale):
+- A field element is a little-endian vector of K 16-bit limbs stored in
+  uint32 lanes, batched as uint32[..., K]. 16-bit is the widest radix whose
+  products fit exactly in a uint32 vector lane (TPU has no 64-bit vector
+  ints), and whose column sums in a KxK schoolbook convolution stay < 2^23
+  without intermediate carries — so the entire multiply runs carry-free on
+  the VPU with one final propagation pass.
+- Montgomery REDC with *lazy carries*: each of the K reduction rounds only
+  pushes the popped column's carry one position; column magnitudes stay
+  < 2^23 (analysis in mont_redc), far below uint32 overflow.
+- All loops are unrolled Python loops over static K — XLA sees a flat
+  elementwise graph over the batch and fuses it; there is no data-dependent
+  control flow.
+- Exponentiation (inverse via Fermat, fixed-exponent pow) runs as
+  `lax.scan` over a static bit array so the compiled graph is O(1) in the
+  exponent length.
+
+Everything here is differentially tested against the host-tier Python-int
+oracle (tests/test_device_field.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zk_toolkit_tpu.utils.bigint import LIMB_BITS, LIMB_MASK, num_limbs, int_to_limbs
+
+MASK = jnp.uint32(LIMB_MASK)
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldSpec:
+    """Static per-field constants (precomputed on host).
+
+    The analog of the reference's curve/field parameter statics
+    (bls12_381/params.rs:8-17, secp256k1/affine_point.rs:30-38).
+    """
+
+    p: int
+    K: int
+    nbits: int
+    n0inv: int           # -p^-1 mod 2^16
+    r_mod_p: int         # R mod p,  R = 2^(16K)
+    r2_mod_p: int        # R^2 mod p
+    p_minus_2_bits: tuple  # MSB-first bits of p-2 (for Fermat inverse)
+
+    # NOTE: these cache *numpy* constants (never jnp) — a jnp array created
+    # during a jit trace would cache a tracer and leak it across traces.
+    @functools.cached_property
+    def p_limbs(self):
+        return np.asarray(int_to_limbs(self.p, self.K), dtype=np.uint32)
+
+    @functools.cached_property
+    def one_mont(self):
+        """Montgomery representation of 1 (= R mod p) as a limb vector."""
+        return np.asarray(int_to_limbs(self.r_mod_p, self.K), dtype=np.uint32)
+
+    @functools.cached_property
+    def r2_limbs(self):
+        return np.asarray(int_to_limbs(self.r2_mod_p, self.K), dtype=np.uint32)
+
+    @functools.cached_property
+    def zero(self):
+        return np.zeros((self.K,), dtype=np.uint32)
+
+
+@functools.lru_cache(maxsize=None)
+def field_spec(p: int) -> FieldSpec:
+    if p % 2 == 0:
+        raise ValueError("Montgomery arithmetic requires an odd modulus")
+    nbits = p.bit_length()
+    k = num_limbs(nbits)
+    r = 1 << (LIMB_BITS * k)
+    n0inv = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+    e = p - 2
+    bits = tuple(int(b) for b in bin(e)[2:]) if e > 0 else (0,)
+    return FieldSpec(
+        p=p,
+        K=k,
+        nbits=nbits,
+        n0inv=n0inv,
+        r_mod_p=r % p,
+        r2_mod_p=(r * r) % p,
+        p_minus_2_bits=bits,
+    )
+
+
+# -- carry/borrow helpers ----------------------------------------------------
+
+def _carry_propagate(t, out_limbs: int):
+    """Normalize columns to 16-bit limbs, sequential carry chain.
+    t: uint32[..., n] with values < 2^31. Returns uint32[..., out_limbs]."""
+    n = t.shape[-1]
+    limbs = []
+    carry = jnp.zeros(t.shape[:-1], dtype=jnp.uint32)
+    for j in range(min(n, out_limbs)):
+        c = t[..., j] + carry
+        limbs.append(c & MASK)
+        carry = c >> LIMB_BITS
+    for j in range(n, out_limbs):
+        limbs.append(carry & MASK)
+        carry = carry >> LIMB_BITS
+    return jnp.stack(limbs, axis=-1)
+
+
+def _sub_limbs(a, b):
+    """a - b over K normalized limbs. Returns (diff, borrow) with borrow 0/1."""
+    k = a.shape[-1]
+    limbs = []
+    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
+    for j in range(k):
+        d = a[..., j] + jnp.uint32(1 << LIMB_BITS) - b[..., j] - borrow
+        limbs.append(d & MASK)
+        borrow = jnp.uint32(1) - (d >> LIMB_BITS)
+    return jnp.stack(limbs, axis=-1), borrow
+
+
+def _add_limbs(a, b, out_limbs=None):
+    """a + b over normalized limbs with carry chain."""
+    k = a.shape[-1]
+    out_limbs = out_limbs or k
+    limbs = []
+    carry = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
+    for j in range(k):
+        c = a[..., j] + b[..., j] + carry
+        limbs.append(c & MASK)
+        carry = c >> LIMB_BITS
+    for _ in range(k, out_limbs):
+        limbs.append(carry & MASK)
+        carry = carry >> LIMB_BITS
+    return jnp.stack(limbs[:out_limbs], axis=-1)
+
+
+def _geq(a, b):
+    """a >= b over normalized limbs (bool[...])."""
+    _, borrow = _sub_limbs(a, b)
+    return borrow == 0
+
+
+def _cond_sub_p(a, spec: FieldSpec):
+    """a mod p assuming a < 2p: subtract p where a >= p."""
+    p = jnp.broadcast_to(spec.p_limbs, a.shape)
+    diff, borrow = _sub_limbs(a, p)
+    take_diff = (borrow == 0)[..., None]
+    return jnp.where(take_diff, diff, a)
+
+
+# -- modular ops (all inputs/outputs normalized 16-bit limbs) ----------------
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def add_mod(a, b, spec: FieldSpec):
+    s = _add_limbs(a, b, out_limbs=spec.K + 1)
+    # s < 2p < 2^(16K+1); compare/subtract over K+1 limbs
+    p_ext = jnp.zeros((spec.K + 1,), dtype=jnp.uint32).at[: spec.K].set(spec.p_limbs)
+    p_ext = jnp.broadcast_to(p_ext, s.shape)
+    diff, borrow = _sub_limbs(s, p_ext)
+    take = (borrow == 0)[..., None]
+    return jnp.where(take, diff, s)[..., : spec.K]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def sub_mod(a, b, spec: FieldSpec):
+    diff, borrow = _sub_limbs(a, b)
+    p = jnp.broadcast_to(spec.p_limbs, a.shape)
+    wrapped = _add_limbs(diff, p)
+    return jnp.where((borrow == 1)[..., None], wrapped, diff)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def neg_mod(a, spec: FieldSpec):
+    p = jnp.broadcast_to(spec.p_limbs, a.shape)
+    diff, _ = _sub_limbs(p, a)
+    # p - 0 = p must wrap to 0
+    is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+    return jnp.where(is_zero, jnp.zeros_like(a), diff)
+
+
+def mul_wide(a, b):
+    """Full 2K-column product with carry-free accumulation.
+    a, b: uint32[..., K] normalized. Returns uint32[..., 2K+2] columns with
+    values < 2K * 2^16 (< 2^23 for K <= 64)."""
+    k = a.shape[-1]
+    t = jnp.zeros(a.shape[:-1] + (2 * k + 2,), dtype=jnp.uint32)
+    for i in range(k):
+        ai = a[..., i:i + 1]
+        prod = ai * b                      # < 2^32, exact in uint32
+        lo = prod & MASK
+        hi = prod >> LIMB_BITS
+        t = t.at[..., i:i + k].add(lo)
+        t = t.at[..., i + 1:i + k + 1].add(hi)
+    return t
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def mont_redc(t, spec: FieldSpec):
+    """Montgomery reduction of 2K+2 columns -> K normalized limbs.
+
+    Column-magnitude analysis: inputs < 2^22 (mul_wide) or < 2^17 (add);
+    each round adds (lo, hi < 2^16) once to each of K+1 columns plus a
+    one-position carry push of < 2^8 — over K <= 32 rounds total magnitude
+    stays < 2^23, well inside uint32.
+    """
+    k = spec.K
+    n = jnp.asarray(spec.p_limbs)
+    n0inv = jnp.uint32(spec.n0inv)
+    for i in range(k):
+        m = ((t[..., i] & MASK) * n0inv) & MASK
+        prod = m[..., None] * n            # uint32[..., K]
+        t = t.at[..., i:i + k].add(prod & MASK)
+        t = t.at[..., i + 1:i + k + 1].add(prod >> LIMB_BITS)
+        # column i is now = 0 mod 2^16; push its value up as carry
+        t = t.at[..., i + 1].add(t[..., i] >> LIMB_BITS)
+    res = _carry_propagate(t[..., k:], k + 1)
+    p_ext = jnp.zeros((k + 1,), dtype=jnp.uint32).at[:k].set(spec.p_limbs)
+    p_ext = jnp.broadcast_to(p_ext, res.shape)
+    diff, borrow = _sub_limbs(res, p_ext)
+    take = (borrow == 0)[..., None]
+    return jnp.where(take, diff, res)[..., :k]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def mont_mul(a, b, spec: FieldSpec):
+    """Montgomery product: a * b * R^-1 mod p."""
+    return mont_redc(mul_wide(a, b), spec)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def mont_sq(a, spec: FieldSpec):
+    return mont_mul(a, a, spec)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def to_mont(a, spec: FieldSpec):
+    """a -> a*R mod p (multiply by R^2 then REDC)."""
+    r2 = jnp.broadcast_to(spec.r2_limbs, a.shape)
+    return mont_mul(a, r2, spec)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def from_mont(a, spec: FieldSpec):
+    """a*R -> a mod p (REDC of the bare value)."""
+    k = spec.K
+    t = jnp.zeros(a.shape[:-1] + (2 * k + 2,), dtype=jnp.uint32)
+    t = t.at[..., :k].set(a)
+    return mont_redc(t, spec)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def mont_pow_static(a, exp_bits: tuple, spec: FieldSpec):
+    """a^e in Montgomery form, e a static integer given MSB-first as
+    exp_bits. Runs as lax.scan over the bit array: per step one squaring
+    and one conditional multiply."""
+    bits = jnp.asarray(exp_bits, dtype=jnp.uint32)
+    one = jnp.broadcast_to(spec.one_mont, a.shape)
+
+    def body(acc, bit):
+        acc = mont_sq(acc, spec)
+        mul = mont_mul(acc, a, spec)
+        acc = jnp.where((bit == 1), mul, acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, one, bits)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def mont_inv(a, spec: FieldSpec):
+    """Batched modular inverse via Fermat: a^(p-2). Maps Montgomery form to
+    Montgomery form. Inverse of zero returns zero (callers guard)."""
+    return mont_pow_static(a, spec.p_minus_2_bits, spec)
+
+
+def mont_pow_dynamic(a, exp_limbs, spec: FieldSpec, exp_bits_count: int):
+    """a^e for per-element exponents given as normalized limb vectors
+    uint32[..., E]; scans LSB-first over exp_bits_count bits."""
+
+    def body(carry, i):
+        acc, base = carry
+        limb = jax.lax.dynamic_index_in_dim(exp_limbs, i // LIMB_BITS, axis=-1, keepdims=False)
+        bit = (limb >> (i.astype(jnp.uint32) % LIMB_BITS)) & jnp.uint32(1)
+        acc = jnp.where((bit == 1)[..., None], mont_mul(acc, base, spec), acc)
+        base = mont_sq(base, spec)
+        return (acc, base), None
+
+    one = jnp.broadcast_to(spec.one_mont, a.shape)
+    (acc, _), _ = jax.lax.scan(body, (one, a), jnp.arange(exp_bits_count))
+    return acc
+
+
+# -- host conversion helpers -------------------------------------------------
+
+def pack(xs, spec: FieldSpec, mont: bool = True):
+    """List of Python ints -> device array (optionally to Montgomery form)."""
+    arr = np.zeros((len(xs), spec.K), dtype=np.uint32)
+    for i, x in enumerate(xs):
+        arr[i] = int_to_limbs(x % spec.p, spec.K)
+    out = jnp.asarray(arr)
+    return to_mont(out, spec) if mont else out
+
+
+def unpack(a, spec: FieldSpec, mont: bool = True) -> list[int]:
+    """Device array -> list of Python ints (converting out of Montgomery)."""
+    if mont:
+        a = from_mont(a, spec)
+    arr = np.asarray(jax.device_get(a), dtype=np.uint64)
+    flat = arr.reshape(-1, spec.K)
+    out = []
+    for row in flat:
+        v = 0
+        for i in range(spec.K - 1, -1, -1):
+            v = (v << LIMB_BITS) | int(row[i])
+        out.append(v)
+    return out
