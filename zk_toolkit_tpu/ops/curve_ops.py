@@ -1,0 +1,253 @@
+"""Batched short-Weierstrass (a=0) group law in Jacobian coordinates.
+
+Device-tier replacement for the reference's affine chord-tangent macros
+(reference: curves/macros.rs `impl_affine_add!` :35-215,
+`impl_scalar_mul_point!` :1-33, `impl_jacobian_add!` :218-300): the affine law
+needs a field inversion *per addition* — hopeless on TPU — so everything here
+is inversion-free Jacobian (dbl-2009-l / add-2007-bl, the same formulas the
+reference's dead Jacobian module names) with branch-free `select` case
+handling, batched over a leading axis and generic over the coordinate field
+via a field-ops namespace (FqOps for secp256k1/G1, Fq2Ops for G2).
+
+Point representation: a `(x, y, z)` tuple of Montgomery limb arrays;
+infinity ⇔ z == 0 (canonically (1, 1, 0) in Montgomery form). Scalars are
+plain (non-Montgomery) 16-bit limb arrays, uint32[..., S].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zk_toolkit_tpu.ops import limbs as L
+from zk_toolkit_tpu.ops.field_ops import FqOps
+from zk_toolkit_tpu.utils.bigint import LIMB_BITS, int_to_limbs
+
+
+# -- point helpers -----------------------------------------------------------
+
+def select_point(ops, mask, p, q):
+    """Per-element point select: p where mask else q."""
+    return tuple(ops.select(mask, a, b) for a, b in zip(p, q))
+
+
+def infinity_like(ops, p):
+    """(1, 1, 0) in Montgomery form, shaped like point p."""
+    one = ops.one_like(p[0])
+    return (one, one, ops.zero_like(p[2]))
+
+
+def is_infinity(ops, p):
+    return ops.is_zero(p[2])
+
+
+def point_neg(ops, p):
+    x, y, z = p
+    return (x, ops.neg(y), z)
+
+
+# -- group law (a = 0) -------------------------------------------------------
+
+def point_double(ops, p):
+    """dbl-2009-l for y^2 = x^3 + b. Y=0 and Z=0 inputs both yield Z3=0 —
+    no case analysis needed (reference's affine tangent/y=0 branches,
+    macros.rs:131-163, collapse into the formula)."""
+    x, y, z = p
+    a = ops.sq(x)
+    b = ops.sq(y)
+    c = ops.sq(b)
+    d = ops.dbl(ops.sub(ops.sub(ops.sq(ops.add(x, b)), a), c))
+    e = ops.add(ops.dbl(a), a)
+    f = ops.sq(e)
+    x3 = ops.sub(f, ops.dbl(d))
+    c8 = ops.dbl(ops.dbl(ops.dbl(c)))
+    y3 = ops.sub(ops.mul(e, ops.sub(d, x3)), c8)
+    z3 = ops.dbl(ops.mul(y, z))
+    return (x3, y3, z3)
+
+
+def point_add(ops, p, q):
+    """Complete add: add-2007-bl with branch-free handling of
+    P=∞ / Q=∞ / P=Q (double) / P=-Q (→ ∞, automatic via H=0 ⇒ Z3=0).
+    Mirrors the reference's exhaustive affine case analysis
+    (macros.rs:35-215) without branches."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    z1z1 = ops.sq(z1)
+    z2z2 = ops.sq(z2)
+    u1 = ops.mul(x1, z2z2)
+    u2 = ops.mul(x2, z1z1)
+    s1 = ops.mul(ops.mul(y1, z2), z2z2)
+    s2 = ops.mul(ops.mul(y2, z1), z1z1)
+    h = ops.sub(u2, u1)
+    r = ops.dbl(ops.sub(s2, s1))
+    i = ops.sq(ops.dbl(h))
+    j = ops.mul(h, i)
+    v = ops.mul(u1, i)
+    x3 = ops.sub(ops.sub(ops.sq(r), j), ops.dbl(v))
+    y3 = ops.sub(ops.mul(r, ops.sub(v, x3)), ops.dbl(ops.mul(s1, j)))
+    z3 = ops.mul(ops.mul(h, ops.dbl(z1)), z2)
+    out = (x3, y3, z3)
+
+    same_x = ops.is_zero(h)
+    same_y = ops.is_zero(r)
+    out = select_point(ops, same_x & same_y, point_double(ops, p), out)
+    out = select_point(ops, is_infinity(ops, q), p, out)
+    out = select_point(ops, is_infinity(ops, p), q, out)
+    return out
+
+
+def point_add_mixed(ops, p, q_affine):
+    """madd-2007-bl: add an affine (z=1) point — saves ~4 muls. `q_affine`
+    is (x2, y2, inf_mask) with inf_mask bool[...batch]."""
+    x1, y1, z1 = p
+    x2, y2, q_inf = q_affine
+    z1z1 = ops.sq(z1)
+    u2 = ops.mul(x2, z1z1)
+    s2 = ops.mul(ops.mul(y2, z1), z1z1)
+    h = ops.sub(u2, x1)
+    r = ops.dbl(ops.sub(s2, y1))
+    i = ops.sq(ops.dbl(h))
+    j = ops.mul(h, i)
+    v = ops.mul(x1, i)
+    x3 = ops.sub(ops.sub(ops.sq(r), j), ops.dbl(v))
+    y3 = ops.sub(ops.mul(r, ops.sub(v, x3)), ops.dbl(ops.mul(y1, j)))
+    z3 = ops.mul(ops.dbl(h), z1)
+    out = (x3, y3, z3)
+
+    same_x = ops.is_zero(h)
+    same_y = ops.is_zero(r)
+    out = select_point(ops, same_x & same_y, point_double(ops, p), out)
+    one = ops.one_like(x2)
+    out = select_point(ops, is_infinity(ops, p), (x2, y2, one), out)
+    out = select_point(ops, q_inf, p, out)
+    return out
+
+
+# -- scalar multiplication ---------------------------------------------------
+
+def _scalar_bit(scalars, i):
+    """Bit i (0 = LSB) of each batched scalar limb-vector, uint32[...batch]."""
+    limb = jnp.take(scalars, i // LIMB_BITS, axis=-1)
+    return (limb >> (i % LIMB_BITS).astype(jnp.uint32)) & jnp.uint32(1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def scalar_mul(ops, p, scalars, nbits: int):
+    """Batched double-and-add, MSB-first over a static bit count
+    (reference impl_scalar_mul_point!, macros.rs:1-33 — there per-bit on one
+    point; here one fused scan over the whole batch)."""
+
+    def step(acc, i):
+        acc = point_double(ops, acc)
+        bit = _scalar_bit(scalars, i)
+        added = point_add(ops, acc, p)
+        acc = select_point(ops, bit == 1, added, acc)
+        return acc, None
+
+    init = infinity_like(ops, p)
+    acc, _ = jax.lax.scan(step, init, jnp.arange(nbits - 1, -1, -1))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def tree_sum(ops, p):
+    """Reduce points over leading axis 0 by pairwise halving — log2(N) levels
+    of batched adds. N must be a power of two (pad with infinity)."""
+    n = p[0].shape[0]
+    assert n & (n - 1) == 0, "tree_sum requires power-of-two leading axis"
+    while n > 1:
+        half = n // 2
+        lo = tuple(a[:half] for a in p)
+        hi = tuple(a[half:] for a in p)
+        p = point_add(ops, lo, hi)
+        n = half
+    return tuple(a[0] for a in p)
+
+
+def pad_to_pow2(ops, p, scalars=None):
+    """Pad leading axis with infinity points (and zero scalars) to a power
+    of two."""
+    n = p[0].shape[0]
+    m = 1 << max(0, (n - 1).bit_length())
+    if m == n:
+        return (p, scalars) if scalars is not None else p
+    pad = m - n
+    inf = infinity_like(ops, tuple(a[:pad] for a in p))
+    p = tuple(jnp.concatenate([a, b], axis=0) for a, b in zip(p, inf))
+    if scalars is not None:
+        z = jnp.zeros((pad,) + scalars.shape[1:], dtype=scalars.dtype)
+        return p, jnp.concatenate([scalars, z], axis=0)
+    return p
+
+
+def msm_naive(ops, p, scalars, nbits: int):
+    """Σᵢ kᵢ·Pᵢ — batched per-point double-and-add then tree reduction.
+    Replaces the reference's sequential Σcᵢ·Pᵢ (polynomial.rs:271-293).
+    The Pippenger path (ops/msm.py) supersedes this for large N; this is the
+    correctness anchor. Deliberately NOT wrapped in one outer jit: it reuses
+    the compiled scalar_mul / tree_sum executables instead of re-inlining
+    the (expensive-to-compile) scan body into a fresh module."""
+    muls = scalar_mul(ops, p, scalars, nbits)
+    muls = pad_to_pow2(ops, muls)
+    return tree_sum(ops, muls)
+
+
+# -- affine normalization ----------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def to_affine(ops, p):
+    """Jacobian → affine: (x/z², y/z³, inf_mask). Batch inverse via Fermat;
+    infinity rows return x=y=0."""
+    x, y, z = p
+    inf = is_infinity(ops, p)
+    zi = ops.inv(z)
+    zi2 = ops.sq(zi)
+    ax = ops.mul(x, zi2)
+    ay = ops.mul(y, ops.mul(zi2, zi))
+    ax = ops.select(inf, ops.zero_like(ax), ax)
+    ay = ops.select(inf, ops.zero_like(ay), ay)
+    return ax, ay, inf
+
+
+# -- host conversion (base-field curves: secp256k1, BLS12-381 G1) -----------
+
+def pack_points(pts, spec: L.FieldSpec):
+    """Host affine points (objects with .x/.y PrimeFieldElem, .inf) →
+    device Jacobian tuple in Montgomery form."""
+    n = len(pts)
+    xs = np.zeros((n, spec.K), dtype=np.uint32)
+    ys = np.zeros((n, spec.K), dtype=np.uint32)
+    zs = np.zeros((n, spec.K), dtype=np.uint32)
+    one = int_to_limbs(spec.r_mod_p, spec.K)
+    for i, pt in enumerate(pts):
+        if pt.is_zero():
+            xs[i] = one
+            ys[i] = one
+        else:
+            xs[i] = int_to_limbs(pt.x.e * spec.r_mod_p % spec.p, spec.K)
+            ys[i] = int_to_limbs(pt.y.e * spec.r_mod_p % spec.p, spec.K)
+            zs[i] = one
+    return (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs))
+
+
+def unpack_points(p, spec: L.FieldSpec) -> list:
+    """Device Jacobian tuple → list of (x, y) int tuples or None (infinity)."""
+    ops = FqOps(spec)
+    ax, ay, inf = to_affine(ops, p)
+    xs = L.unpack(ax, spec)
+    ys = L.unpack(ay, spec)
+    infs = np.asarray(jax.device_get(inf)).reshape(-1)
+    return [None if i else (x, y) for x, y, i in zip(xs, ys, infs)]
+
+
+def pack_scalars(ks, nbits: int):
+    """Host ints → plain limb arrays uint32[N, ceil(nbits/16)]."""
+    s = (nbits + LIMB_BITS - 1) // LIMB_BITS
+    arr = np.zeros((len(ks), s), dtype=np.uint32)
+    for i, k in enumerate(ks):
+        arr[i] = int_to_limbs(int(k), s)
+    return jnp.asarray(arr)

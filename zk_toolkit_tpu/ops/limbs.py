@@ -100,49 +100,80 @@ def field_spec(p: int) -> FieldSpec:
 
 
 # -- carry/borrow helpers ----------------------------------------------------
+#
+# Carry/borrow chains are log-depth Kogge-Stone prefix networks over the limb
+# axis rather than K-step sequential loops: the carry-into-limb recurrence
+# C[i+1] = g[i] | (p[i] & C[i]) is an associative (generate, propagate)
+# prefix, solved in ceil(log2 K) shift/and/or rounds. This keeps the XLA op
+# count per field op small enough that a 256-step scalar-mul scan body stays
+# compilable in seconds.
+
+def _shift_up(x, d):
+    """Shift limbs toward higher index by d (zeros fill low limbs)."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
+    return jnp.pad(x, pad)[..., : x.shape[-1]]
+
+
+def _ks_prefix(g, p):
+    """Inclusive prefix of the carry operator over the limb axis:
+    returns G with G[i] = carry generated out of limbs [0..i]."""
+    k = g.shape[-1]
+    d = 1
+    while d < k:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d *= 2
+    return g
+
+
+def _resolve_carries(s):
+    """s: uint32[..., n] column sums < 2^17. Fully propagate 0/1 carries.
+    Returns (normalized limbs, carry_out)."""
+    lo = s & MASK
+    g = s >> LIMB_BITS                 # 0/1: generates
+    p = (lo == MASK).astype(jnp.uint32)  # propagates
+    G = _ks_prefix(g, p)
+    carry_in = _shift_up(G, 1)
+    out = (lo + carry_in) & MASK
+    return out, G[..., -1]
+
 
 def _carry_propagate(t, out_limbs: int):
-    """Normalize columns to 16-bit limbs, sequential carry chain.
-    t: uint32[..., n] with values < 2^31. Returns uint32[..., out_limbs]."""
+    """Normalize columns to 16-bit limbs. t: uint32[..., n] with values
+    < 2^31. Returns uint32[..., out_limbs]."""
     n = t.shape[-1]
-    limbs = []
-    carry = jnp.zeros(t.shape[:-1], dtype=jnp.uint32)
-    for j in range(min(n, out_limbs)):
-        c = t[..., j] + carry
-        limbs.append(c & MASK)
-        carry = c >> LIMB_BITS
-    for j in range(n, out_limbs):
-        limbs.append(carry & MASK)
-        carry = carry >> LIMB_BITS
-    return jnp.stack(limbs, axis=-1)
+    if n < out_limbs:
+        t = jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, out_limbs - n)])
+    t = t[..., :out_limbs]
+    # stage 1: fold multi-bit carries one position up -> sums < 2^16 + 2^15
+    s = (t & MASK) + _shift_up(t >> LIMB_BITS, 1)
+    # stage 2: 0/1 carries, log-depth resolution
+    out, _ = _resolve_carries(s)
+    return out
 
 
 def _sub_limbs(a, b):
-    """a - b over K normalized limbs. Returns (diff, borrow) with borrow 0/1."""
-    k = a.shape[-1]
-    limbs = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    for j in range(k):
-        d = a[..., j] + jnp.uint32(1 << LIMB_BITS) - b[..., j] - borrow
-        limbs.append(d & MASK)
-        borrow = jnp.uint32(1) - (d >> LIMB_BITS)
-    return jnp.stack(limbs, axis=-1), borrow
+    """a - b over K normalized limbs. Returns (diff, borrow) with borrow 0/1.
+    Borrow recurrence B[i+1] = (a<b)[i] | ((a==b)[i] & B[i]) — same prefix."""
+    ai, bi = a, b
+    g = (ai < bi).astype(jnp.uint32)
+    p = (ai == bi).astype(jnp.uint32)
+    B = _ks_prefix(g, p)
+    borrow_in = _shift_up(B, 1)
+    diff = (ai - bi - borrow_in) & MASK   # uint32 wraparound is exact mod 2^16
+    return diff, B[..., -1]
 
 
 def _add_limbs(a, b, out_limbs=None):
-    """a + b over normalized limbs with carry chain."""
+    """a + b over normalized limbs with full carry resolution."""
     k = a.shape[-1]
     out_limbs = out_limbs or k
-    limbs = []
-    carry = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    for j in range(k):
-        c = a[..., j] + b[..., j] + carry
-        limbs.append(c & MASK)
-        carry = c >> LIMB_BITS
-    for _ in range(k, out_limbs):
-        limbs.append(carry & MASK)
-        carry = carry >> LIMB_BITS
-    return jnp.stack(limbs[:out_limbs], axis=-1)
+    s = a + b
+    if out_limbs > k:
+        s = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, out_limbs - k)])
+    s = s[..., :out_limbs]
+    out, _ = _resolve_carries(s)
+    return out
 
 
 def _geq(a, b):
@@ -192,17 +223,22 @@ def neg_mod(a, spec: FieldSpec):
 def mul_wide(a, b):
     """Full 2K-column product with carry-free accumulation.
     a, b: uint32[..., K] normalized. Returns uint32[..., 2K+2] columns with
-    values < 2K * 2^16 (< 2^23 for K <= 64)."""
+    values < 2K * 2^16 (< 2^23 for K <= 64).
+
+    Built as K statically-padded row vectors summed in one reduction — no
+    scatter updates, so the XLA graph stays small even unrolled inside a
+    256-step scalar-mul scan."""
     k = a.shape[-1]
-    t = jnp.zeros(a.shape[:-1] + (2 * k + 2,), dtype=jnp.uint32)
+    w = 2 * k + 2
+    rows = []
     for i in range(k):
-        ai = a[..., i:i + 1]
-        prod = ai * b                      # < 2^32, exact in uint32
+        prod = a[..., i:i + 1] * b         # < 2^32, exact in uint32
         lo = prod & MASK
         hi = prod >> LIMB_BITS
-        t = t.at[..., i:i + k].add(lo)
-        t = t.at[..., i + 1:i + k + 1].add(hi)
-    return t
+        pad = [(0, 0)] * (prod.ndim - 1)
+        rows.append(jnp.pad(lo, pad + [(i, w - k - i)]))
+        rows.append(jnp.pad(hi, pad + [(i + 1, w - k - i - 1)]))
+    return functools.reduce(jnp.add, rows)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -217,13 +253,16 @@ def mont_redc(t, spec: FieldSpec):
     k = spec.K
     n = jnp.asarray(spec.p_limbs)
     n0inv = jnp.uint32(spec.n0inv)
+    w = t.shape[-1]
+    pad = [(0, 0)] * (t.ndim - 1)
     for i in range(k):
         m = ((t[..., i] & MASK) * n0inv) & MASK
         prod = m[..., None] * n            # uint32[..., K]
-        t = t.at[..., i:i + k].add(prod & MASK)
-        t = t.at[..., i + 1:i + k + 1].add(prod >> LIMB_BITS)
+        t = t + jnp.pad(prod & MASK, pad + [(i, w - k - i)])
+        t = t + jnp.pad(prod >> LIMB_BITS, pad + [(i + 1, w - k - i - 1)])
         # column i is now = 0 mod 2^16; push its value up as carry
-        t = t.at[..., i + 1].add(t[..., i] >> LIMB_BITS)
+        carry = (t[..., i] >> LIMB_BITS)[..., None]
+        t = t + jnp.pad(carry, pad + [(i + 1, w - i - 2)])
     res = _carry_propagate(t[..., k:], k + 1)
     p_ext = jnp.zeros((k + 1,), dtype=jnp.uint32).at[:k].set(spec.p_limbs)
     p_ext = jnp.broadcast_to(p_ext, res.shape)
