@@ -51,21 +51,31 @@ def point_neg(ops, p):
 
 # -- group law (a = 0) -------------------------------------------------------
 
+# Independent field multiplications within each formula are STACKED along a
+# new leading axis and dispatched as one call — the same trick the tower
+# (ops/tower_ops.py) uses. A point add is 3 stacked-mul + 2 stacked-sq
+# instances instead of 16 inlined Montgomery multiplies: ~4x smaller XLA
+# graphs (these formulas are inlined into every scan body and MSM tree level)
+# and wider VPU batches per dispatch.
+
+def _s(*xs):
+    return jnp.stack(xs, axis=0)
+
+
 def point_double(ops, p):
     """dbl-2009-l for y^2 = x^3 + b. Y=0 and Z=0 inputs both yield Z3=0 —
     no case analysis needed (reference's affine tangent/y=0 branches,
     macros.rs:131-163, collapse into the formula)."""
     x, y, z = p
-    a = ops.sq(x)
-    b = ops.sq(y)
-    c = ops.sq(b)
-    d = ops.dbl(ops.sub(ops.sub(ops.sq(ops.add(x, b)), a), c))
+    a, b = ops.sq(_s(x, y))
     e = ops.add(ops.dbl(a), a)
-    f = ops.sq(e)
+    c, g, f = ops.sq(_s(b, ops.add(x, b), e))
+    d = ops.dbl(ops.sub(ops.sub(g, a), c))
     x3 = ops.sub(f, ops.dbl(d))
     c8 = ops.dbl(ops.dbl(ops.dbl(c)))
-    y3 = ops.sub(ops.mul(e, ops.sub(d, x3)), c8)
-    z3 = ops.dbl(ops.mul(y, z))
+    t1, z3h = ops.mul(_s(e, y), _s(ops.sub(d, x3), z))
+    y3 = ops.sub(t1, c8)
+    z3 = ops.dbl(z3h)
     return (x3, y3, z3)
 
 
@@ -76,20 +86,19 @@ def point_add(ops, p, q):
     (macros.rs:35-215) without branches."""
     x1, y1, z1 = p
     x2, y2, z2 = q
-    z1z1 = ops.sq(z1)
-    z2z2 = ops.sq(z2)
-    u1 = ops.mul(x1, z2z2)
-    u2 = ops.mul(x2, z1z1)
-    s1 = ops.mul(ops.mul(y1, z2), z2z2)
-    s2 = ops.mul(ops.mul(y2, z1), z1z1)
+    z1z1, z2z2 = ops.sq(_s(z1, z2))
+    u1, u2, a, b, zz = ops.mul(
+        _s(x1, x2, y1, y2, z1), _s(z2z2, z1z1, z2, z1, z2)
+    )
+    s1, s2 = ops.mul(_s(a, b), _s(z2z2, z1z1))
     h = ops.sub(u2, u1)
     r = ops.dbl(ops.sub(s2, s1))
-    i = ops.sq(ops.dbl(h))
-    j = ops.mul(h, i)
-    v = ops.mul(u1, i)
-    x3 = ops.sub(ops.sub(ops.sq(r), j), ops.dbl(v))
-    y3 = ops.sub(ops.mul(r, ops.sub(v, x3)), ops.dbl(ops.mul(s1, j)))
-    z3 = ops.mul(ops.mul(h, ops.dbl(z1)), z2)
+    i, rr = ops.sq(_s(ops.dbl(h), r))
+    j, v = ops.mul(_s(h, u1), _s(i, i))
+    x3 = ops.sub(ops.sub(rr, j), ops.dbl(v))
+    t1, t2, z3h = ops.mul(_s(r, s1, h), _s(ops.sub(v, x3), j, zz))
+    y3 = ops.sub(t1, ops.dbl(t2))
+    z3 = ops.dbl(z3h)
     out = (x3, y3, z3)
 
     same_x = ops.is_zero(h)
@@ -106,16 +115,16 @@ def point_add_mixed(ops, p, q_affine):
     x1, y1, z1 = p
     x2, y2, q_inf = q_affine
     z1z1 = ops.sq(z1)
-    u2 = ops.mul(x2, z1z1)
-    s2 = ops.mul(ops.mul(y2, z1), z1z1)
+    u2, a = ops.mul(_s(x2, y2), _s(z1z1, z1))
+    s2 = ops.mul(a, z1z1)
     h = ops.sub(u2, x1)
     r = ops.dbl(ops.sub(s2, y1))
-    i = ops.sq(ops.dbl(h))
-    j = ops.mul(h, i)
-    v = ops.mul(x1, i)
-    x3 = ops.sub(ops.sub(ops.sq(r), j), ops.dbl(v))
-    y3 = ops.sub(ops.mul(r, ops.sub(v, x3)), ops.dbl(ops.mul(y1, j)))
-    z3 = ops.mul(ops.dbl(h), z1)
+    i, rr = ops.sq(_s(ops.dbl(h), r))
+    j, v = ops.mul(_s(h, x1), _s(i, i))
+    x3 = ops.sub(ops.sub(rr, j), ops.dbl(v))
+    t1, t2, z3h = ops.mul(_s(r, y1, h), _s(ops.sub(v, x3), j, z1))
+    y3 = ops.sub(t1, ops.dbl(t2))
+    z3 = ops.dbl(z3h)
     out = (x3, y3, z3)
 
     same_x = ops.is_zero(h)
@@ -154,17 +163,25 @@ def scalar_mul(ops, p, scalars, nbits: int):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def _halving_add(ops, p):
+    n = p[0].shape[0]
+    half = n // 2
+    return point_add(
+        ops, tuple(a[:half] for a in p), tuple(a[half:] for a in p)
+    )
+
+
 def tree_sum(ops, p):
     """Reduce points over leading axis 0 by pairwise halving — log2(N) levels
-    of batched adds. N must be a power of two (pad with infinity)."""
+    of batched adds. N must be a power of two (pad with infinity). Each level
+    is its own small jitted executable (shared across callers/windows) — one
+    fused graph would inline log2(N) copies of the group law and take XLA
+    minutes to compile."""
     n = p[0].shape[0]
     assert n & (n - 1) == 0, "tree_sum requires power-of-two leading axis"
     while n > 1:
-        half = n // 2
-        lo = tuple(a[:half] for a in p)
-        hi = tuple(a[half:] for a in p)
-        p = point_add(ops, lo, hi)
-        n = half
+        p = _halving_add(ops, p)
+        n //= 2
     return tuple(a[0] for a in p)
 
 

@@ -17,9 +17,10 @@ Design (TPU rationale):
 - Montgomery REDC with *lazy carries*: each of the K reduction rounds only
   pushes the popped column's carry one position; column magnitudes stay
   < 2^23 (analysis in mont_redc), far below uint32 overflow.
-- All loops are unrolled Python loops over static K — XLA sees a flat
-  elementwise graph over the batch and fuses it; there is no data-dependent
-  control flow.
+- Compile-friendliness is a hard requirement: these ops are inlined hundreds
+  of times into scalar-mul / Miller-loop scan bodies and MSM tree levels, so
+  the schoolbook product is a 3-op diagonal shear (no per-row pad chains) and
+  the K REDC rounds run as a lax.scan — XLA graphs stay O(1) in K.
 - Exponentiation (inverse via Fermat, fixed-exponent pow) runs as
   `lax.scan` over a static bit array so the compiled graph is O(1) in the
   exponent length.
@@ -220,25 +221,33 @@ def neg_mod(a, spec: FieldSpec):
     return jnp.where(is_zero, jnp.zeros_like(a), diff)
 
 
+def _shear_columns(x, offset: int, w: int):
+    """Sum rows of x: uint32[..., K, K] into columns i + j + offset of a
+    width-w output: out[c] = sum_i x[i, c - i - offset].
+
+    The diagonal shear is a pure reshape: padding each row to width w+1 and
+    flattening puts x[i, j] at linear index i*(w+1) + (j + offset) =
+    i*w + (i + j + offset); re-viewing the flat buffer as [K, w] aligns every
+    (i, j) with its target column, and one reduction over rows finishes the
+    job. 3 XLA ops — no scatter, no per-row pad chain — which keeps every
+    enclosing kernel (point add, Miller step) cheap to compile."""
+    k = x.shape[-2]
+    batch = x.shape[:-2]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 0), (offset, w + 1 - k - offset)])
+    flat = xp.reshape(batch + (k * (w + 1),))
+    return flat[..., : k * w].reshape(batch + (k, w)).sum(axis=-2, dtype=jnp.uint32)
+
+
 def mul_wide(a, b):
     """Full 2K-column product with carry-free accumulation.
     a, b: uint32[..., K] normalized. Returns uint32[..., 2K+2] columns with
-    values < 2K * 2^16 (< 2^23 for K <= 64).
-
-    Built as K statically-padded row vectors summed in one reduction — no
-    scatter updates, so the XLA graph stays small even unrolled inside a
-    256-step scalar-mul scan."""
+    values < 2K * 2^16 (< 2^23 for K <= 64)."""
     k = a.shape[-1]
     w = 2 * k + 2
-    rows = []
-    for i in range(k):
-        prod = a[..., i:i + 1] * b         # < 2^32, exact in uint32
-        lo = prod & MASK
-        hi = prod >> LIMB_BITS
-        pad = [(0, 0)] * (prod.ndim - 1)
-        rows.append(jnp.pad(lo, pad + [(i, w - k - i)]))
-        rows.append(jnp.pad(hi, pad + [(i + 1, w - k - i - 1)]))
-    return functools.reduce(jnp.add, rows)
+    outer = a[..., :, None] * b[..., None, :]   # < 2^32, exact in uint32
+    lo = outer & MASK
+    hi = outer >> LIMB_BITS
+    return _shear_columns(lo, 0, w) + _shear_columns(hi, 1, w)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -253,16 +262,27 @@ def mont_redc(t, spec: FieldSpec):
     k = spec.K
     n = jnp.asarray(spec.p_limbs)
     n0inv = jnp.uint32(spec.n0inv)
-    w = t.shape[-1]
-    pad = [(0, 0)] * (t.ndim - 1)
-    for i in range(k):
-        m = ((t[..., i] & MASK) * n0inv) & MASK
+
+    # K sequential rounds as a lax.scan over a (K+2)-wide sliding window:
+    # round i adds m*p at columns [i, i+K] and pushes column i's (now
+    # 16-bit-aligned) value one position up as a carry. Columns below the
+    # window are never read again (the result is t[..., K:]). A scan keeps
+    # the XLA graph O(1) in K — unrolling this loop is what made every
+    # enclosing kernel (point add, Fq12 mul) take minutes to compile.
+    def round_(t, i):
+        col = jax.lax.dynamic_index_in_dim(t, i, axis=-1, keepdims=False)
+        m = ((col & MASK) * n0inv) & MASK
         prod = m[..., None] * n            # uint32[..., K]
-        t = t + jnp.pad(prod & MASK, pad + [(i, w - k - i)])
-        t = t + jnp.pad(prod >> LIMB_BITS, pad + [(i + 1, w - k - i - 1)])
-        # column i is now = 0 mod 2^16; push its value up as carry
-        carry = (t[..., i] >> LIMB_BITS)[..., None]
-        t = t + jnp.pad(carry, pad + [(i + 1, w - i - 2)])
+        lo = prod & MASK
+        hi = prod >> LIMB_BITS
+        zpad = [(0, 0)] * (prod.ndim - 1)
+        addvec = jnp.pad(lo, zpad + [(0, 2)]) + jnp.pad(hi, zpad + [(1, 1)])
+        win = jax.lax.dynamic_slice_in_dim(t, i, k + 2, axis=-1) + addvec
+        carry = win[..., 0] >> LIMB_BITS
+        win = win.at[..., 1].add(carry)
+        return jax.lax.dynamic_update_slice_in_dim(t, win, i, axis=-1), None
+
+    t, _ = jax.lax.scan(round_, t, jnp.arange(k))
     res = _carry_propagate(t[..., k:], k + 1)
     p_ext = jnp.zeros((k + 1,), dtype=jnp.uint32).at[:k].set(spec.p_limbs)
     p_ext = jnp.broadcast_to(p_ext, res.shape)

@@ -199,8 +199,7 @@ def _msm_window(ops, pts, digits, c: int):
     Returns a single Jacobian point (no batch axis)."""
     keys, spts = _sort_by_digit(ops, pts, digits)
     buckets = _segmented_bucket_sums(ops, spts, keys, c)
-    s = _weighted_bucket_sum(ops, buckets)
-    return tuple(x[0] for x in s)
+    return _weighted_bucket_sum(ops, buckets)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
