@@ -1,25 +1,38 @@
-"""Test configuration: run the whole suite on a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Multi-chip sharding (parallel/ tests) is validated on
-`--xla_force_host_platform_device_count=8` CPU devices, per the reference's
-absence of any distributed tests (SURVEY.md §4) — all sharded paths must be
-validated without physical TPU pods. These env vars must be set before jax
-is imported anywhere in the test process.
+- Multi-chip sharding tests (tests/test_parallel.py) ALWAYS run on a virtual
+  8-device CPU mesh (`--xla_force_host_platform_device_count=8`), per the
+  reference's absence of any distributed tests (SURVEY.md §4) — sharded paths
+  must be validated without a physical pod. They request the CPU platform
+  explicitly via make_mesh(platform="cpu").
+- Everything else runs on the default platform: the real TPU when the axon
+  tunnel is up (the target hardware, and XLA-TPU compiles these limb-heavy
+  graphs ~50x faster than XLA-CPU's LLVM path), CPU otherwise.
+
+XLA_FLAGS must be set before jax initializes any backend. The machine's
+sitecustomize imports jax at interpreter startup, so env vars alone are too
+late for jax's import-time config reads — but backends initialize lazily, so
+setting XLA_FLAGS here still works, and platform fallback goes through
+jax.config.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# The machine's sitecustomize registers the remote-TPU PJRT plugin in every
-# python process when this var is set; tests must never touch the TPU tunnel.
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Persistent compilation cache: the limb-arithmetic scan bodies are large XLA
-# graphs (a 256-bit scalar-mul step is ~10k ops) and cost minutes to compile
-# on CPU; caching makes every run after the first near-instant.
+# Persistent compilation cache: scan bodies (Miller loop, scalar mul) are
+# large XLA graphs; caching makes every run after the first near-instant.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+try:
+    jax.devices()
+except Exception:
+    # No TPU tunnel (or misconfigured accelerator): fall back to CPU.
+    jax.config.update("jax_platforms", "cpu")
+    jax.devices()

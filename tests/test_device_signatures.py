@@ -1,0 +1,128 @@
+"""Batched device signatures vs host-tier oracles: ECDSA (reference
+ecdsa.rs:37-135 incl. rejection branches), Ed25519 bit-exact RFC 8032
+(ed25519_sha512.rs:127-186), Edwards device group law, BLS batch verify
+(signature.rs:29-44)."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zk_toolkit_tpu.curves import curve25519 as edc
+from zk_toolkit_tpu.curves import secp256k1
+from zk_toolkit_tpu.ops import curve_ops as C
+from zk_toolkit_tpu.ops import edwards_ops as E
+from zk_toolkit_tpu.ops import sha_ops as S
+from zk_toolkit_tpu.ops import signature_ops as SIG
+from zk_toolkit_tpu.signatures.ed25519 import Ed25519Sha512
+
+
+def test_edwards_device_ops():
+    random.seed(5)
+    b_pt = edc.B()
+    pts = [b_pt, b_pt * 2, b_pt * 12345, edc.EdwardsPoint.infinity()]
+    ks = [7, 99, 2**250 + 12345, 42]
+    dev = E.pack_points(pts)
+    res = E.scalar_mul(dev, C.pack_scalars(ks, 256), 256)
+    out = E.unpack_points(res)
+    for i, (p, k) in enumerate(zip(pts, ks)):
+        exp = p * k
+        ex = (0, 1) if exp.is_zero() else (exp.x.e, exp.y.e)
+        assert out[i] == ex, f"scalar mul {i}"
+    out = E.unpack_points(E.point_add(dev, dev))
+    for i, p in enumerate(pts):
+        exp = p + p
+        ex = (0, 1) if exp.is_zero() else (exp.x.e, exp.y.e)
+        assert out[i] == ex, f"double {i}"
+
+
+def test_ecdsa_batch_sign_verify():
+    random.seed(11)
+    b = 4
+    msgs = np.stack([
+        np.frombuffer(f"message-{i}".encode().ljust(16), dtype=np.uint8)
+        for i in range(b)
+    ])
+    privs = [random.randrange(1, secp256k1.N) for _ in range(b)]
+    ks = [random.randrange(1, secp256k1.N) for _ in range(b)]
+    digests = S.sha256_batch(msgs)
+    r, s, ok = SIG.ecdsa_sign_batch(
+        C.pack_scalars(privs, 256), C.pack_scalars(ks, 256), digests
+    )
+    assert np.asarray(jax.device_get(ok)).all()
+
+    # bit-exact vs the reference's sign equations with the same k
+    import hashlib
+
+    def limbs_to_int(row):
+        v = 0
+        for x in reversed(np.asarray(row).tolist()):
+            v = (v << 16) | int(x)
+        return v
+
+    for i in range(b):
+        r_exp = (secp256k1.g() * ks[i]).x.e % secp256k1.N
+        z = int.from_bytes(hashlib.sha256(msgs[i].tobytes()).digest(), "big") % secp256k1.N
+        s_exp = pow(ks[i], -1, secp256k1.N) * (z + r_exp * privs[i]) % secp256k1.N
+        assert limbs_to_int(np.asarray(jax.device_get(r))[i]) == r_exp
+        assert limbs_to_int(np.asarray(jax.device_get(s))[i]) == s_exp
+
+    pubs = [secp256k1.g() * d for d in privs]
+    pub_jac = C.pack_points(pubs, SIG._P_OPS.spec)
+    res = SIG.ecdsa_verify_batch(r, s, pub_jac, digests)
+    assert np.asarray(jax.device_get(res)).all()
+    bad = digests.copy()
+    bad[0, 0] ^= 1
+    res = np.asarray(jax.device_get(SIG.ecdsa_verify_batch(r, s, pub_jac, bad)))
+    assert not res[0] and res[1:].all()
+
+
+def test_ecdsa_rejects_bad_inputs():
+    """Reference negative branches (ecdsa.rs:144-317): r/s out of range and
+    infinity pubkey."""
+    b = 2
+    msgs = np.stack([np.frombuffer(b"m".ljust(8), dtype=np.uint8)] * b)
+    digests = S.sha256_batch(msgs)
+    zero = jnp.zeros((b, 16), dtype=jnp.uint32)
+    n_full = C.pack_scalars([secp256k1.N, 5], 256)
+    pubs = C.pack_points([secp256k1.g(), secp256k1.infinity()], SIG._P_OPS.spec)
+    res = np.asarray(jax.device_get(
+        SIG.ecdsa_verify_batch(zero, n_full, pubs, digests)
+    ))
+    assert not res.any()
+
+
+def test_ed25519_batch_bit_exact():
+    eng = Ed25519Sha512()
+    b = 3
+    prvs = np.stack([np.frombuffer(bytes([i + 1] * 32), dtype=np.uint8) for i in range(b)])
+    msgs = np.stack([
+        np.frombuffer(f"ed-msg-{i}".encode().ljust(12), dtype=np.uint8)
+        for i in range(b)
+    ])
+    sigs = SIG.ed25519_sign_batch(prvs, msgs)
+    for i in range(b):
+        assert bytes(sigs[i].tobytes()) == eng.sign(msgs[i].tobytes(), prvs[i].tobytes())
+    pubs = np.stack([
+        np.frombuffer(eng.gen_pub_key(prvs[i].tobytes()), dtype=np.uint8)
+        for i in range(b)
+    ])
+    assert SIG.ed25519_verify_batch(sigs, pubs, msgs).all()
+    bad = msgs.copy()
+    bad[1, 0] ^= 1
+    ok = SIG.ed25519_verify_batch(sigs, pubs, bad)
+    assert ok[0] and not ok[1] and ok[2]
+
+
+def test_bls_batch_verify():
+    from zk_toolkit_tpu.signatures.bls import PrivateKey, Signer
+
+    signer = Signer()
+    sks = [PrivateKey(1234 + i) for i in range(2)]
+    msgs = [b"bls-1", b"bls-2"]
+    pks = [signer.gen_public_key(sk) for sk in sks]
+    sigs = [signer.sign(m, sk) for m, sk in zip(msgs, sks)]
+    assert list(SIG.bls_verify_batch(msgs, sigs, pks)) == [True, True]
+    assert list(SIG.bls_verify_batch(msgs, [sigs[1], sigs[0]], pks)) == [False, False]

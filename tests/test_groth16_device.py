@@ -1,0 +1,116 @@
+"""Device Groth16 end-to-end on the reference's flagship circuit
+(x * x * x) + x + 5 == 35, witness x = 3 (reference
+zktoolkit_based/prover.rs:159-192) — prove + verify entirely on the device
+tier, plus trapdoor-side scalar recomputation that checks the SpMV -> NTT ->
+MSM pipeline bit-exactly."""
+
+import pytest
+
+from zk_toolkit_tpu.curves.bls12_381 import g1, params
+from zk_toolkit_tpu.ops import curve_ops as C
+from zk_toolkit_tpu.ops import limbs as L
+from zk_toolkit_tpu.protocols import groth16_device as GD
+from zk_toolkit_tpu.snark import term as T
+
+R = params.R
+F = params.SUBGROUP
+
+EXPR = "(x * x * x) + x + 5 == 35"
+TRAPDOOR = dict(tau=12345, alpha=777, beta=888, gamma=999, delta=111213)
+
+
+def witness_map():
+    return {
+        T.One(): F.elem(1),
+        T.Var("x"): F.elem(3),
+        T.Out(): F.elem(35),
+        T.TmpVar(1): F.elem(9),
+        T.TmpVar(2): F.elem(27),
+        T.TmpVar(3): F.elem(8),
+        T.TmpVar(4): F.elem(35),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mat = GD.CircuitMatrices.from_expr(EXPR)
+    crs = GD.DeviceCRS.from_trapdoor(mat, **TRAPDOOR)
+    prover = GD.DeviceGroth16Prover(mat, witness_map())
+    proof = prover.prove_with_rs(crs, r=4242, s=5353)
+    return mat, crs, prover, proof
+
+
+def _host_uvw_at_tau(mat, tau):
+    """u_i(tau), v_i(tau), w_i(tau) via host Lagrange over the NTT domain."""
+    from zk_toolkit_tpu.ops.ntt import fr_domain
+
+    dom = fr_domain(mat.n_pad)
+    t_tau = (pow(tau, mat.n_pad, R) - 1) % R
+    n_inv = pow(mat.n_pad, -1, R)
+    lag, wj = [], 1
+    for _ in range(mat.n_pad):
+        lag.append(t_tau * wj % R * pow((tau - wj) % R, -1, R) % R * n_inv % R)
+        wj = wj * dom.w % R
+    u = [0] * (mat.m + 1)
+    v = [0] * (mat.m + 1)
+    w = [0] * (mat.m + 1)
+    for j, cons in enumerate(mat.tmpl.constraints):
+        for acc, side in ((u, cons.a), (v, cons.b), (w, cons.c)):
+            for idx, coeff in side:
+                acc[idx] = (acc[idx] + coeff.e * lag[j]) % R
+    return u, v, w
+
+
+def test_prove_and_verify(setup):
+    mat, crs, prover, proof = setup
+    verifier = GD.DeviceGroth16Verifier()
+    assert verifier.verify(proof, crs, prover.statement())
+
+
+def test_wrong_statement_rejected(setup):
+    mat, crs, prover, proof = setup
+    bad = list(prover.statement())
+    bad[-1] = (bad[-1] + 1) % R
+    assert not GD.DeviceGroth16Verifier().verify(proof, crs, bad)
+
+
+def test_proof_matches_trapdoor_scalars(setup):
+    """With the trapdoor known, A and C are fixed scalars times G1 — checks
+    the whole device pipeline (SpMV, coset quotient NTT, 5 MSMs) bit-exactly
+    against host bigint recomputation."""
+    mat, crs, prover, proof = setup
+    tau, alpha, beta = TRAPDOOR["tau"], TRAPDOOR["alpha"], TRAPDOOR["beta"]
+    delta = TRAPDOOR["delta"]
+    gamma = TRAPDOOR["gamma"]
+    r, s = 4242, 5353
+    wires = prover.wires
+    u, v, w = _host_uvw_at_tau(mat, tau)
+    ua = sum(a * ui for a, ui in zip(wires, u)) % R
+    va = sum(a * vi for a, vi in zip(wires, v)) % R
+    wa = sum(a * wi for a, wi in zip(wires, w)) % R
+    t_tau = (pow(tau, mat.n_pad, R) - 1) % R
+    h_tau = (ua * va - wa) * pow(t_tau, -1, R) % R
+
+    a_scalar = (alpha + ua + r * delta) % R
+    b_scalar = (beta + va + s * delta) % R
+    uvw_wit = sum(
+        wires[i] * ((beta * u[i] + alpha * v[i] + w[i]) % R)
+        for i in range(mat.l + 1, mat.m + 1)
+    ) % R * pow(delta, -1, R) % R
+    c_scalar = (
+        uvw_wit
+        + h_tau * t_tau % R * pow(delta, -1, R)
+        + s * a_scalar
+        + r * b_scalar
+        - r * s % R * delta
+    ) % R
+
+    spec = L.field_spec(params.Q)
+    ax, ay, ainf = proof.a
+    got_a = (L.unpack(ax, spec)[0], L.unpack(ay, spec)[0])
+    exp_a = g1.g() * a_scalar
+    assert got_a == (exp_a.x.e, exp_a.y.e), "A mismatch"
+    cx, cy, cinf = proof.c
+    got_c = (L.unpack(cx, spec)[0], L.unpack(cy, spec)[0])
+    exp_c = g1.g() * c_scalar
+    assert got_c == (exp_c.x.e, exp_c.y.e), "C mismatch"

@@ -36,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from zk_toolkit_tpu.ops import curve_ops as C
 from zk_toolkit_tpu.utils.bigint import LIMB_BITS
@@ -105,19 +106,31 @@ def _merge_level(ops, lid, lpt, rid, rpt):
             (emit2_id, emit2_pt, emit2_valid))
 
 
+def _bucket_set(buckets, ids, pts):
+    """buckets[ids] = pts, window-aware: with a trailing window axis on ids
+    ([N', W]) the write pairs each row with its window column."""
+    if ids.ndim == 1:
+        return tuple(b.at[ids].set(p) for b, p in zip(buckets, pts))
+    wi = jnp.broadcast_to(
+        jnp.arange(ids.shape[1], dtype=jnp.uint32)[None], ids.shape
+    )
+    return tuple(b.at[ids, wi].set(p) for b, p in zip(buckets, pts))
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _scatter_emit(ops, buckets, emit):
     """Write emitted segment sums into the bucket array. Invalid rows target
     bucket 0, which is reset afterwards (digit 0 contributes nothing)."""
     ids, pts, valid = emit
     ids = jnp.where(valid, ids, jnp.uint32(0))
-    return tuple(b.at[ids].set(p) for b, p in zip(buckets, pts))
+    return _bucket_set(buckets, ids, pts)
 
 
 def _segmented_bucket_sums(ops, pts, keys, c: int):
     """Sorted-stream bucket accumulation; pts is a Jacobian tuple sorted by
-    keys (uint32[N] ascending, N a power of two). Returns the dense bucket
-    array tuple (leading axis 2^c) with bucket 0 = infinity."""
+    keys (uint32[N(, W)] ascending along axis 0, N a power of two; the
+    optional trailing W axis batches Pippenger windows). Returns the dense
+    bucket array tuple (leading axis 2^c) with bucket 0 = infinity."""
     m = 1 << c
     buckets = C.infinity_like(
         ops, tuple(jnp.repeat(a[:1], m, axis=0) for a in pts)
@@ -130,8 +143,8 @@ def _segmented_bucket_sums(ops, pts, keys, c: int):
         buckets = _scatter_emit(ops, buckets, e2)
     # Root: both boundary segments are final. If the root is a single
     # segment, both writes store the same value.
-    buckets = tuple(b.at[lid].set(p) for b, p in zip(buckets, lpt))
-    buckets = tuple(b.at[rid].set(p) for b, p in zip(buckets, rpt))
+    buckets = _bucket_set(buckets, lid, lpt)
+    buckets = _bucket_set(buckets, rid, rpt)
     inf = C.infinity_like(ops, tuple(b[:1] for b in buckets))
     buckets = tuple(b.at[0:1].set(i) for b, i in zip(buckets, inf))
     return buckets
@@ -188,15 +201,22 @@ def _weighted_bucket_sum(ops, buckets):
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _sort_by_digit(ops, pts, digits):
-    order = jnp.argsort(digits)
-    keys = jnp.take(digits, order, axis=0)
-    spts = tuple(jnp.take(a, order, axis=0) for a in pts)
-    return keys, spts
+    """Sort the point stream by digit along axis 0. digits: uint32[N(, W)];
+    with the window axis present, each window column sorts independently and
+    the (broadcast) point arrays are gathered per window."""
+    order = jnp.argsort(digits, axis=0)
+    keys = jnp.take_along_axis(digits, order, axis=0)
+    spts = []
+    for a in pts:
+        idx = order.reshape(order.shape + (1,) * (a.ndim - order.ndim))
+        spts.append(jnp.take_along_axis(a, idx, axis=0))
+    return keys, tuple(spts)
 
 
 def _msm_window(ops, pts, digits, c: int):
-    """One Pippenger window: sort by digit, bucket sums, weighted reduction.
-    Returns a single Jacobian point (no batch axis)."""
+    """One Pippenger window group: sort by digit, bucket sums, weighted
+    reduction. digits uint32[N] -> point with no batch axis;
+    digits uint32[N, W] (pts broadcast to [N, W, ...]) -> points [W, ...]."""
     keys, spts = _sort_by_digit(ops, pts, digits)
     buckets = _segmented_bucket_sums(ops, spts, keys, c)
     return _weighted_bucket_sum(ops, buckets)
@@ -221,23 +241,52 @@ def _horner_combine(ops, window_pts, c: int):
     return jax.lax.fori_loop(0, w, body, init)
 
 
-def msm_pippenger(ops, pts, scalars, nbits: int, c: int | None = None):
+def _auto_window_chunk(n: int, n_windows: int, struct_elems: int) -> int:
+    """How many windows to batch per dispatch group: bounded by a device
+    memory budget for the gathered per-window point copies."""
+    import os
+
+    cap = int(os.environ.get("ZKT_MSM_MEM_BYTES", 1 << 30))
+    per_window = n * struct_elems * 4 * 2  # gathered copy + scratch
+    return max(1, min(n_windows, cap // max(per_window, 1)))
+
+
+def msm_pippenger(ops, pts, scalars, nbits: int, c: int | None = None,
+                  window_chunk: int | None = None):
     """sum_i k_i * P_i. pts: batched Jacobian tuple (Montgomery limbs),
     scalars: uint32[N, S] plain 16-bit limbs. Returns one Jacobian point
     (tuple of uint32[K']-shaped arrays).
 
-    Windows run as a host loop over shared per-level executables, keeping
-    both XLA graphs and device memory small."""
+    Windows are processed in batched groups (an inner W axis on every stage)
+    sized by a memory budget — one sort/merge-tree/bucket pass covers the
+    whole group, so dispatch count is independent of the window count up to
+    the memory cap. Per-level executables are shared across groups and calls."""
     pts, scalars = C.pad_to_pow2(ops, pts, scalars)
     n = pts[0].shape[0]
     c = c or default_window_bits(n)
     assert LIMB_BITS % c == 0, "window size must divide the limb width"
     n_windows = (nbits + c - 1) // c
-    partials = []
-    for w in range(n_windows):
-        digits = _window_digits(scalars, c, w)
-        partials.append(_msm_window(ops, pts, digits, c))
+    struct = sum(int(np.prod(a.shape[1:])) for a in pts)
+    wc = window_chunk or _auto_window_chunk(n, n_windows, struct)
+    partials = []  # per window, ascending
+    for lo in range(0, n_windows, wc):
+        ws = list(range(lo, min(lo + wc, n_windows)))
+        if len(ws) == 1:
+            digits = _window_digits(scalars, c, ws[0])
+            partials.append(tuple(x[None] for x in _msm_window(ops, pts, digits, c)))
+        else:
+            digits = jnp.stack(
+                [_window_digits(scalars, c, w) for w in ws], axis=1
+            )  # [N, W]
+            pts_b = tuple(
+                jnp.broadcast_to(
+                    a[:, None], (n, len(ws)) + a.shape[1:]
+                )
+                for a in pts
+            )
+            group = _msm_window(ops, pts_b, digits, c)  # tuple of [W, ...]
+            partials.append(group)
     stacked = tuple(
-        jnp.stack([p[i] for p in partials], axis=0) for i in range(3)
+        jnp.concatenate([p[i] for p in partials], axis=0) for i in range(3)
     )
     return _horner_combine(ops, stacked, c)

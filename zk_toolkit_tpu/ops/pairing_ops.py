@@ -191,19 +191,20 @@ class BlsPairingOps:
 
     def final_exp(self, f):
         """f^(3 (q^12-1)/r) — cubed standard final exponentiation (host
-        parity: optimal_ate.final_exp)."""
-        e12 = self.e12
-        m = e12.mul(self.conj12(f), e12.inv(f))       # f^(q^6-1)
-        m = e12.mul(self.frobenius(m, 2), m)          # ^(q^2+1): cyclotomic
+        parity: optimal_ate.final_exp).
+
+        Composed from separately-jitted pieces (_easy_part / _pow_u /
+        _mul_conj / _mul_frob) rather than traced as one function: the five
+        u-exponentiation scans then share ONE compiled executable instead of
+        being inlined five times into a module that takes XLA minutes to
+        compile."""
+        m = _easy_part(self, f)
         # hard part: (u-1)^2 (u+q) (u^2+q^2-1) + 3
-        a = e12.mul(self.pow_u(m), self.conj12(m))            # m^(u-1)
-        a = e12.mul(self.pow_u(a), self.conj12(a))            # ^(u-1) again
-        b = e12.mul(self.pow_u(a), self.frobenius(a, 1))      # a^(u+q)
-        c = e12.mul(
-            e12.mul(self.pow_u(self.pow_u(b)), self.frobenius(b, 2)),
-            self.conj12(b),
-        )                                                     # b^(u^2+q^2-1)
-        return e12.mul(c, e12.mul(e12.sq(m), m))              # * m^3
+        a = _mul_conj(self, _pow_u(self, m), m)               # m^(u-1)
+        a = _mul_conj(self, _pow_u(self, a), a)               # ^(u-1) again
+        b = _mul_frob(self, _pow_u(self, a), a, 1)            # a^(u+q)
+        c = _mul_conj(self, _mul_frob(self, _pow_u(self, _pow_u(self, b)), b, 2), b)
+        return _mul_m3(self, c, m)                            # * m^3
 
 
 @functools.lru_cache(maxsize=1)
@@ -211,11 +212,39 @@ def bls_pairing_ops() -> BlsPairingOps:
     return BlsPairingOps()
 
 
+# -- jitted building blocks (each compiles once, reused across the pairing) ----
+
 @functools.partial(jax.jit, static_argnums=(0,))
+def _easy_part(ops: BlsPairingOps, f):
+    e12 = ops.e12
+    m = e12.mul(ops.conj12(f), e12.inv(f))        # f^(q^6-1)
+    return e12.mul(ops.frobenius(m, 2), m)        # ^(q^2+1): cyclotomic
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _pow_u(ops: BlsPairingOps, a):
+    return ops.pow_u(a)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _mul_conj(ops: BlsPairingOps, x, y):
+    return ops.e12.mul(x, ops.conj12(y))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _mul_frob(ops: BlsPairingOps, x, y, power: int):
+    return ops.e12.mul(x, ops.frobenius(y, power))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _mul_m3(ops: BlsPairingOps, c, m):
+    return ops.e12.mul(c, ops.e12.mul(ops.e12.sq(m), m))
+
+
 def pairing_e(ops: BlsPairingOps, p_aff, q_aff):
     """Batched pairing e(P, Q)^3 (see optimal_ate.py normalization).
-    One dispatch = B pairings."""
-    return ops.final_exp(ops.miller_loop(p_aff, q_aff))
+    One Miller-loop dispatch + the shared final-exponentiation executables."""
+    return ops.final_exp(miller_only(ops, p_aff, q_aff))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -229,15 +258,9 @@ def gt_mul(ops: BlsPairingOps, a, b):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def pairing_product_is_one(ops: BlsPairingOps, p_affs, q_affs):
-    """Batched pairing-product check: for each batch row, is
-    prod_j e(P_j, Q_j) == 1?  p_affs/q_affs have an extra trailing pair axis
-    folded into the batch: shapes [B, J, ...]. Used by the device Groth16 /
-    BLS verifiers (reference verifier equations, zktoolkit_based/verifier.rs
-    :31-56) — the product over J Miller loops shares ONE final
-    exponentiation."""
-    f = ops.miller_loop(p_affs, q_affs)  # [B, J, 2, 3, 2, K]
-    # reduce the pair axis with log-depth Fq12 muls
+def _fold_pair_axis(ops: BlsPairingOps, f):
+    """Reduce the pair axis (axis 1) of Miller outputs with log-depth
+    Fq12 multiplications."""
     j = f.shape[1]
     while j > 1:
         half = j // 2
@@ -247,9 +270,25 @@ def pairing_product_is_one(ops: BlsPairingOps, p_affs, q_affs):
         else:
             f = ops.e12.mul(f[:, :half], f[:, half:])
         j = f.shape[1]
-    gt = ops.final_exp(f[:, 0])
+    return f[:, 0]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _is_gt_one(ops: BlsPairingOps, gt):
     one = ops.e12.one_like(gt)
     return jnp.all(gt == one, axis=tuple(range(1, gt.ndim)))
+
+
+def pairing_product_is_one(ops: BlsPairingOps, p_affs, q_affs):
+    """Batched pairing-product check: for each batch row, is
+    prod_j e(P_j, Q_j) == 1?  p_affs/q_affs have an extra trailing pair axis
+    folded into the batch: shapes [B, J, ...]. Used by the device Groth16 /
+    BLS verifiers (reference verifier equations, zktoolkit_based/verifier.rs
+    :31-56) — the product over J Miller loops shares ONE final
+    exponentiation."""
+    f = miller_only(ops, p_affs, q_affs)  # [B, J, 2, 3, 2, K]
+    gt = ops.final_exp(_fold_pair_axis(ops, f))
+    return _is_gt_one(ops, gt)
 
 
 # -- host conversions ----------------------------------------------------------
