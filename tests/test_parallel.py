@@ -39,7 +39,7 @@ def _msm_case(n, seed=11):
 
 
 def test_sharded_msm_naive(mesh):
-    pts, scalars, expected, spec = _msm_case(24)
+    pts, scalars, expected, spec = _msm_case(16)
     ops = FqOps(spec)
     res = sharded_msm(ops, pts, scalars, 256, mesh)
     out = C.unpack_points(tuple(a[None] for a in res), spec)[0]
@@ -47,7 +47,7 @@ def test_sharded_msm_naive(mesh):
 
 
 def test_sharded_msm_pippenger(mesh):
-    pts, scalars, expected, spec = _msm_case(40, seed=12)
+    pts, scalars, expected, spec = _msm_case(16, seed=12)
     ops = FqOps(spec)
     res = sharded_msm_pippenger(ops, pts, scalars, 256, mesh, c=4)
     out = C.unpack_points(tuple(a[None] for a in res), spec)[0]
@@ -70,6 +70,49 @@ def test_sharded_batch_field_mul(mesh):
     b = shard_leading(mesh, L.pack(ys, spec))
     out = L.mont_mul(a, b, spec)
     assert L.unpack(out, spec) == [x * y % params.Q for x, y in zip(xs, ys)]
+
+
+def test_sharded_ntt(mesh):
+    """NTT over Fr with the butterfly-lane axis sharded over the mesh: XLA
+    SPMD inserts the cross-shard exchanges (the all-to-all of SURVEY.md §2
+    item d); results must be bit-identical to the unsharded transform."""
+    from zk_toolkit_tpu.curves.bls12_381 import params
+    from zk_toolkit_tpu.ops import ntt as N
+
+    random.seed(13)
+    n = 64
+    dom = N.fr_domain(n)
+    coeffs = [random.randrange(params.R) for _ in range(n)]
+    dev = L.pack(coeffs, dom.spec)
+    want = L.unpack(N.ntt(dom, dev), dom.spec)
+    sharded = shard_leading(mesh, dev)
+    got = L.unpack(N.ntt(dom, sharded), dom.spec)
+    assert got == want
+
+
+def test_hmac_sha512_batch():
+    import hashlib
+    import hmac as hmac_mod
+    import numpy as np
+    from zk_toolkit_tpu.ops import sha_ops as S
+
+    msg = b"sharded hmac message"
+    d = S.hmac_sha512_batch(b"key", np.frombuffer(msg, dtype=np.uint8)[None])
+    assert bytes(d[0]).hex() == hmac_mod.new(b"key", msg, hashlib.sha512).hexdigest()
+
+
+def test_ecdsa_keygen_batch():
+    import numpy as np
+    from zk_toolkit_tpu.curves import secp256k1
+    from zk_toolkit_tpu.ops import curve_ops as C
+    from zk_toolkit_tpu.ops import signature_ops as SIG
+
+    privs = [5, 123456789]
+    pts = SIG.ecdsa_keygen_batch(C.pack_scalars(privs, 256))
+    out = C.unpack_points(pts, SIG._P_OPS.spec)
+    for got, d in zip(out, privs):
+        exp = secp256k1.g() * d
+        assert got == (exp.x.e, exp.y.e)
 
 
 def test_shard_map_collective(mesh):

@@ -43,11 +43,14 @@ from zk_toolkit_tpu.utils.bigint import LIMB_BITS
 
 
 def default_window_bits(n: int) -> int:
-    """Window size c (must divide 16): roughly log2(N) - 5, the classic
-    Pippenger balance between per-window stream work (N) and bucket work
-    (~3 * 2^c)."""
+    """Window size c (must divide 16): roughly log2(N) - 5 capped at 8.
+    The classic balance is stream work (N per window) vs bucket work
+    (~3 * 2^c per window); c = 16 wins a little more work reduction at large
+    N but its 2^16-bucket suffix scan multiplies device live memory and HLO
+    size — c = 8 keeps the bucket phase negligible (768 adds) with at most
+    ~1.7x the stream work, and is the robust default on a single chip."""
     target = max(1, n.bit_length() - 5)
-    for c in (16, 8, 4, 2, 1):
+    for c in (8, 4, 2, 1):
         if c <= target:
             return c
     return 1
@@ -108,13 +111,21 @@ def _merge_level(ops, lid, lpt, rid, rpt):
 
 def _bucket_set(buckets, ids, pts):
     """buckets[ids] = pts, window-aware: with a trailing window axis on ids
-    ([N', W]) the write pairs each row with its window column."""
+    ([N', W]) the write pairs each row with its window column. Implemented as
+    a flat 1-D scatter (id * W + window) — multi-dimensional scatter indices
+    are exotic enough to crash the TPU AOT compiler."""
     if ids.ndim == 1:
         return tuple(b.at[ids].set(p) for b, p in zip(buckets, pts))
-    wi = jnp.broadcast_to(
-        jnp.arange(ids.shape[1], dtype=jnp.uint32)[None], ids.shape
-    )
-    return tuple(b.at[ids, wi].set(p) for b, p in zip(buckets, pts))
+    w = ids.shape[1]
+    wi = jnp.broadcast_to(jnp.arange(w, dtype=jnp.uint32)[None], ids.shape)
+    flat_ids = (ids * jnp.uint32(w) + wi).reshape(-1)
+    out = []
+    for b, p in zip(buckets, pts):
+        m = b.shape[0]
+        bf = b.reshape((m * w,) + b.shape[2:])
+        pf = p.reshape((-1,) + p.shape[2:])
+        out.append(bf.at[flat_ids].set(pf).reshape(b.shape))
+    return tuple(out)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -246,7 +257,7 @@ def _auto_window_chunk(n: int, n_windows: int, struct_elems: int) -> int:
     memory budget for the gathered per-window point copies."""
     import os
 
-    cap = int(os.environ.get("ZKT_MSM_MEM_BYTES", 1 << 30))
+    cap = int(os.environ.get("ZKT_MSM_MEM_BYTES", 256 << 20))
     per_window = n * struct_elems * 4 * 2  # gathered copy + scratch
     return max(1, min(n_windows, cap // max(per_window, 1)))
 
@@ -261,6 +272,27 @@ def msm_pippenger(ops, pts, scalars, nbits: int, c: int | None = None,
     sized by a memory budget — one sort/merge-tree/bucket pass covers the
     whole group, so dispatch count is independent of the window count up to
     the memory cap. Per-level executables are shared across groups and calls."""
+    n_raw = pts[0].shape[0]
+    max_stream = int(np.log2(int(
+        __import__("os").environ.get("ZKT_MSM_MAX_STREAM", 1 << 18)
+    )))
+    if n_raw > (1 << max_stream):
+        # stream chunking: sub-MSMs over 2^max_stream-point slices combined
+        # with single point adds — bounds device live memory at huge N
+        step = 1 << max_stream
+        acc = None
+        for lo in range(0, n_raw, step):
+            part = msm_pippenger(
+                ops, tuple(a[lo : lo + step] for a in pts),
+                scalars[lo : lo + step], nbits, c=c,
+                window_chunk=window_chunk,
+            )
+            acc = part if acc is None else tuple(
+                x[0] for x in C.point_add(
+                    ops, tuple(x[None] for x in acc), tuple(x[None] for x in part)
+                )
+            )
+        return acc
     pts, scalars = C.pad_to_pow2(ops, pts, scalars)
     n = pts[0].shape[0]
     c = c or default_window_bits(n)

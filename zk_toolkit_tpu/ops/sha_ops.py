@@ -230,17 +230,24 @@ def sha512_batch(msgs: np.ndarray) -> np.ndarray:
     return out
 
 
-def hmac_sha256_batch(key: bytes, msgs: np.ndarray) -> np.ndarray:
-    """RFC 2104 over the device SHA-256 (host hmac.py parity,
-    reference hmac.rs:5-46): one shared key, a batch of messages."""
-    block = 64
+def _hmac_batch(key: bytes, msgs: np.ndarray, hash_batch, block: int) -> np.ndarray:
+    """RFC 2104 over a device hash (host hmac.py parity, reference
+    hmac.rs:5-46): one shared key, a batch of messages."""
     if len(key) > block:
-        key = bytes(sha256_batch(np.frombuffer(key, dtype=np.uint8)[None])[0])
+        key = bytes(hash_batch(np.frombuffer(key, dtype=np.uint8)[None])[0])
     key = key.ljust(block, b"\x00")
     k = np.frombuffer(key, dtype=np.uint8)
     msgs = np.atleast_2d(np.asarray(msgs, dtype=np.uint8))
     b = msgs.shape[0]
     ipad = np.broadcast_to(k ^ np.uint8(0x36), (b, block))
     opad = np.broadcast_to(k ^ np.uint8(0x5C), (b, block))
-    inner = sha256_batch(np.concatenate([ipad, msgs], axis=1))
-    return sha256_batch(np.concatenate([opad, inner], axis=1))
+    inner = hash_batch(np.concatenate([ipad, msgs], axis=1))
+    return hash_batch(np.concatenate([opad, inner], axis=1))
+
+
+def hmac_sha256_batch(key: bytes, msgs: np.ndarray) -> np.ndarray:
+    return _hmac_batch(key, msgs, sha256_batch, 64)
+
+
+def hmac_sha512_batch(key: bytes, msgs: np.ndarray) -> np.ndarray:
+    return _hmac_batch(key, msgs, sha512_batch, 128)

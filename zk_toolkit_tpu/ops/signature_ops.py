@@ -70,6 +70,13 @@ def _digest_to_z_plain(digests: np.ndarray) -> jnp.ndarray:
     return jnp.where((borrow == 0)[..., None], diff, zj)
 
 
+def ecdsa_keygen_batch(priv_plain):
+    """Batched public-key derivation Q = d * G (reference ecdsa.rs:33-35).
+    priv_plain: uint32[B, 16] plain limbs. Returns a Jacobian point tuple."""
+    n = priv_plain.shape[0]
+    return C.scalar_mul(_P_OPS, _tile(_secp_gen(), n), priv_plain, 256)
+
+
 def ecdsa_sign_batch(priv_plain, k_plain, digests: np.ndarray):
     """Batched ECDSA signing (reference ecdsa.rs:37-85 with the fresh-k loop
     hoisted to the caller): r = (kG).x mod n, s = k^-1 (z + r d) mod n.

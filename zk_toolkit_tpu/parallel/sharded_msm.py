@@ -1,35 +1,30 @@
 """Mesh-sharded multi-scalar multiplication.
 
-Design (SURVEY.md §2 distributed plan, item c): points and scalars are
-partitioned over the mesh's "shard" axis; every device runs the SAME local
-MSM on its slice (embarrassingly parallel — zero communication during the
-stream phase); the per-device partial results (one Jacobian point each) are
-combined with a log2(D) tree of point adds. Total cross-device traffic is
-D-1 points per MSM, so weak-scaling efficiency is compute-bound by
-construction (>> the 80% BASELINE.md target).
+Design (SURVEY.md §2 distributed plan, item c): the point/scalar stream is
+placed with its leading axis sharded over the mesh (`NamedSharding`), and the
+regular MSM executables run unchanged — XLA SPMD partitions every
+batched stage and inserts the ICI collectives where stages cross shards:
 
-Two paths:
-- `sharded_msm` — shard_map + the batched-naive local MSM (compact scan
-  graph, safe to trace as one SPMD program). Used by the multi-chip dry run
-  and small/medium N.
-- `sharded_msm_pippenger` — host-orchestrated: each device's slice runs the
-  per-level Pippenger executables (ops/msm.py) with its own arrays; JAX's
-  async dispatch pipelines the devices. Used for large N where Pippenger's
-  work advantage dominates.
+- `sharded_msm` (batched-naive local math): the per-point double-and-add scan
+  is embarrassingly parallel; only the top log2(D) levels of the final tree
+  reduction move points (D-1 point transfers per MSM). Weak-scaling is
+  compute-bound by construction.
+- `sharded_msm_pippenger`: same placement through the Pippenger path; the
+  digit sort and bucket scatter exchange stream elements across shards
+  (the all-to-all phase), the merge tree is local until its top levels.
+
+This is deliberately NOT `shard_map` and NOT per-device orchestration:
+manual-SPMD tracing of the scan graphs takes XLA-CPU tens of minutes, and
+per-device dispatch recompiles one executable per device (jit caches are
+keyed by placement). Sharded-input auto-SPMD compiles once, in the same time
+as the single-device module.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-try:  # JAX >= 0.4.35 exposes shard_map at top level
-    shard_map = jax.shard_map
-except AttributeError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
 
 from zk_toolkit_tpu.ops import curve_ops as C
 from zk_toolkit_tpu.ops import msm as M
@@ -50,81 +45,29 @@ def _pad_to_multiple(ops, pts, scalars, d: int):
     return pts, jnp.concatenate([scalars, z], axis=0)
 
 
-def sharded_msm(ops, pts, scalars, nbits: int, mesh: Mesh, axis: str = "shard",
-                use_shard_map: bool | None = None):
-    """sum_i k_i P_i with the point stream sharded over `axis`. Returns a
-    single Jacobian point tuple.
+def _place(mesh: Mesh, axis: str, pts, scalars):
+    def sh(a):
+        return jax.device_put(
+            a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+        )
 
-    Two execution modes with identical semantics:
-    - shard_map SPMD (default on accelerator meshes): one traced program,
-      XLA partitions it; right when compile cost is amortized (TPU).
-    - explicit per-device orchestration (default on CPU meshes): each device
-      gets its slice and runs the SAME small jitted executables; JAX's async
-      dispatch overlaps the devices. XLA-CPU takes tens of minutes to compile
-      the SPMD scan program, so this is the only practical CPU-mesh path.
-    Cross-device traffic is D-1 points either way."""
+    return tuple(sh(a) for a in pts), sh(scalars)
+
+
+def sharded_msm(ops, pts, scalars, nbits: int, mesh: Mesh, axis: str = "shard"):
+    """sum_i k_i P_i via the batched-naive path with the stream sharded over
+    `axis`. Returns a single Jacobian point tuple."""
     d = mesh.shape[axis]
     pts, scalars = _pad_to_multiple(ops, pts, scalars, d)
-    if use_shard_map is None:
-        use_shard_map = all(
-            dev.platform != "cpu" for dev in mesh.devices.flat
-        )
-
-    if use_shard_map:
-        spec_pt = P(axis)
-
-        def local(lpts, lscalars):
-            part = C.msm_naive(ops, lpts, lscalars, nbits)
-            return tuple(a[None] for a in part)
-
-        fn = shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(spec_pt, spec_pt),
-            out_specs=spec_pt,
-            # the scan carry mixes replicated constants (infinity init,
-            # curve consts) with shard-varying data; skip the varying-axis
-            # type check
-            check_vma=False,
-        )
-        partials = jax.jit(fn)(pts, scalars)  # [D, ...] one per device
-    else:
-        devs = list(mesh.devices.flat)
-        n = pts[0].shape[0]
-        step = n // d
-        parts = []
-        for i, dev in enumerate(devs):
-            lo, hi = i * step, (i + 1) * step
-            lp = tuple(jax.device_put(a[lo:hi], dev) for a in pts)
-            ls = jax.device_put(scalars[lo:hi], dev)
-            parts.append(C.msm_naive(ops, lp, ls, nbits))
-        partials = tuple(
-            jnp.stack([jax.device_put(p[i], devs[0]) for p in parts], axis=0)
-            for i in range(3)
-        )
-    partials = C.pad_to_pow2(ops, partials)
-    return C.tree_sum(ops, partials)
+    pts, scalars = _place(mesh, axis, pts, scalars)
+    return C.msm_naive(ops, pts, scalars, nbits)
 
 
 def sharded_msm_pippenger(ops, pts, scalars, nbits: int, mesh: Mesh,
                           axis: str = "shard", c: int | None = None):
-    """Host-orchestrated per-device Pippenger: split the stream, run the
-    shared per-level executables on each device's slice (async dispatch
-    overlaps devices), tree-combine the D partials."""
-    devs = list(mesh.devices.flat)
-    d = len(devs)
+    """Pippenger with the stream sharded over the mesh (sort/scatter phases
+    exchange elements across shards; compute phases stay local)."""
+    d = mesh.shape[axis]
     pts, scalars = _pad_to_multiple(ops, pts, scalars, d)
-    n = pts[0].shape[0]
-    step = n // d
-    partials = []
-    for i, dev in enumerate(devs):
-        lo, hi = i * step, (i + 1) * step
-        lp = tuple(jax.device_put(a[lo:hi], dev) for a in pts)
-        ls = jax.device_put(scalars[lo:hi], dev)
-        partials.append(M.msm_pippenger(ops, lp, ls, nbits, c=c))
-    stacked = tuple(
-        jnp.stack([jax.device_put(p[i], devs[0]) for p in partials], axis=0)
-        for i in range(3)
-    )
-    stacked = C.pad_to_pow2(ops, stacked)
-    return C.tree_sum(ops, stacked)
+    pts, scalars = _place(mesh, axis, pts, scalars)
+    return M.msm_pippenger(ops, pts, scalars, nbits, c=c)
