@@ -90,7 +90,7 @@ def bench_msm(quick: bool) -> tuple[float, float]:
     scalars_np[:] = raw
     scalars = jnp.asarray(scalars_np)
 
-    c = 16 if not quick else 8
+    c = None  # default c=8: the 2^16-bucket c=16 path crashes the TPU AOT helper
     res = M.msm_pippenger(ops, pts, scalars, 255, c=c)
     jax.block_until_ready(res)
     reps = 3
