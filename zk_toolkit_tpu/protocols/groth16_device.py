@@ -33,6 +33,7 @@ import numpy as np
 
 from zk_toolkit_tpu.curves.bls12_381 import g1, g2, params
 from zk_toolkit_tpu.ops import curve_ops as C
+from zk_toolkit_tpu.ops import fixed_base as FB
 from zk_toolkit_tpu.ops import limbs as L
 from zk_toolkit_tpu.ops import msm as MSM
 from zk_toolkit_tpu.ops import ntt as NTT
@@ -153,18 +154,27 @@ def _tile_point(pt, n):
     return tuple(jnp.broadcast_to(a, (n,) + a.shape[-1:]) for a in pt)
 
 
+FB_WINDOW = 8  # fixed-base window bits (table = 32 windows x 256 entries)
+
+
 @functools.lru_cache(maxsize=1)
 def _g1_base():
     spec = _fq_ops().spec
     return C.pack_points([g1.g()], spec)
 
 
+@functools.lru_cache(maxsize=1)
+def _g1_table():
+    return FB.build_table(_fq_ops(), _g1_base(), FR_BITS, FB_WINDOW)
+
+
 def fixed_base_g1(scalars_plain):
-    """[k_i * G1] batched: one double-and-add scan over the whole batch."""
-    ops = _fq_ops()
-    n = scalars_plain.shape[0]
-    base = _tile_point(_g1_base(), n)
-    return C.scalar_mul(ops, base, scalars_plain, FR_BITS)
+    """[k_i * G1] batched: windowed table gathers + a log-depth add tree
+    (replaces round 1's 256-step double-and-add scan, which kept the whole
+    scalar batch's Jacobian triples live and OOM'd at CRS scale)."""
+    return FB.scalar_mul_fixed(
+        _fq_ops(), _g1_table(), scalars_plain, FB_WINDOW
+    )
 
 
 @functools.lru_cache(maxsize=1)
@@ -176,13 +186,17 @@ def _g2_base():
     return (xq, yq, one)
 
 
+@functools.lru_cache(maxsize=1)
+def _g2_table():
+    po = PO.bls_pairing_ops()
+    return FB.build_table(po.e2, _g2_base(), FR_BITS, FB_WINDOW)
+
+
 def fixed_base_g2(scalars_plain):
     po = PO.bls_pairing_ops()
-    n = scalars_plain.shape[0]
-    base = tuple(
-        jnp.broadcast_to(a, (n,) + a.shape[-2:]) for a in _g2_base()
+    return FB.scalar_mul_fixed(
+        po.e2, _g2_table(), scalars_plain, FB_WINDOW
     )
-    return C.scalar_mul(po.e2, base, scalars_plain, FR_BITS)
 
 
 def _pack_fr_plain(xs) -> jnp.ndarray:
