@@ -67,24 +67,24 @@ def bench_field_muls(quick: bool) -> float:
 
 
 def bench_msm(quick: bool) -> tuple[float, float]:
-    """(seconds per 2^20 MSM, points/s). Points tiled from a distinct base
-    set (bucket pattern is set by the random scalars, not point values)."""
+    """(seconds per 2^20 MSM, points/s) over n DISTINCT random points
+    (generated with the windowed fixed-base path) and random 256-bit
+    scalars."""
     import jax
     import jax.numpy as jnp
     from zk_toolkit_tpu.curves.bls12_381 import params
     from zk_toolkit_tpu.ops import curve_ops as C, limbs as L, msm as M
     from zk_toolkit_tpu.ops.field_ops import FqOps
-    from zk_toolkit_tpu.protocols.groth16_device import fixed_base_g1, _pack_fr_plain
+    from zk_toolkit_tpu.protocols.groth16_device import fixed_base_g1
 
     n = 1 << (12 if quick else 20)
-    n_base = 1 << 10
     spec = L.field_spec(params.Q)
     ops = FqOps(spec)
     rng = np.random.default_rng(1)
-    base_scalars = [int(x) for x in rng.integers(1, 1 << 62, size=n_base)]
-    base = fixed_base_g1(_pack_fr_plain(base_scalars))
-    reps_tile = n // n_base
-    pts = tuple(jnp.tile(a, (reps_tile, 1)) for a in base)
+    base_scalars = jnp.asarray(
+        rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
+    )
+    pts = fixed_base_g1(base_scalars)
     scalars_np = np.zeros((n, 16), dtype=np.uint32)
     raw = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
     scalars_np[:] = raw
@@ -127,86 +127,33 @@ def bench_pairing(quick: bool) -> float:
     return b / dt
 
 
-def bench_groth16(quick: bool) -> float:
-    """Seconds per Groth16 prove on a synthetic 2^16-constraint R1CS
-    (2^12 when --quick)."""
+def bench_groth16(quick: bool) -> dict:
+    """Groth16 on a synthetic 2^16-constraint R1CS (2^10 when --quick)
+    through the public API. Returns {prove_s, crs_s, verify_s}."""
     import jax
     from zk_toolkit_tpu.curves.bls12_381 import params
     from zk_toolkit_tpu.protocols import groth16_device as GD
-    from zk_toolkit_tpu.utils.bigint import int_to_limbs
-    from zk_toolkit_tpu.ops import limbs as L
+    from zk_toolkit_tpu.snark.synthetic import synthetic_r1cs
 
-    R = params.R
     n = 1 << (10 if quick else 16)
-    m = n  # wires
-    rng = np.random.default_rng(2)
-    wires = [1] + [int(x) for x in rng.integers(1, 1 << 61, size=m)]
-    spec = L.field_spec(R)
-    kmax = 2
-    a_idx = np.zeros((n, kmax), dtype=np.int32)
-    b_idx = np.zeros((n, kmax), dtype=np.int32)
-    c_idx = np.zeros((n, kmax), dtype=np.int32)
-    a_val = np.zeros((n, kmax, spec.K), dtype=np.uint32)
-    b_val = np.zeros((n, kmax, spec.K), dtype=np.uint32)
-    c_val = np.zeros((n, kmax, spec.K), dtype=np.uint32)
-    one_m = int_to_limbs(spec.r_mod_p, spec.K)
-    i1 = rng.integers(1, m + 1, size=n)
-    i2 = rng.integers(1, m + 1, size=n)
-    j1 = rng.integers(1, m + 1, size=n)
-    for k in range(n):
-        a = (wires[i1[k]] + 2 * wires[i2[k]]) % R
-        b = wires[j1[k]]
-        a_idx[k] = (i1[k], i2[k])
-        a_val[k, 0] = one_m
-        a_val[k, 1] = int_to_limbs(2 * spec.r_mod_p % R, spec.K)
-        b_idx[k, 0] = j1[k]
-        b_val[k, 0] = one_m
-        c_idx[k, 0] = 0  # constant wire carries the product
-        c_val[k, 0] = int_to_limbs(a * b % R * spec.r_mod_p % R, spec.K)
+    log(f"groth16 bench: building synthetic R1CS n={n} ...")
+    tmpl, wit = synthetic_r1cs(params.SUBGROUP, n, seed=2)
+    mat = GD.CircuitMatrices.from_tmpl(tmpl)
 
-    class _Tmpl:
-        constraints = ()
-
-    mat = GD.CircuitMatrices(
-        n=n, n_pad=n, m=m, l=0, kmax=kmax,
-        a_idx=a_idx, b_idx=b_idx, c_idx=c_idx,
-        a_val=a_val, b_val=b_val, c_val=c_val, tmpl=_Tmpl(),
-    )
-
-    log(f"groth16 bench: generating CRS for n={n} m={m} ...")
-    # CRS via direct scalar construction (no tmpl): reuse from_trapdoor math
-    # by temporarily attaching sparse rows to the tmpl stand-in.
-    class _Cons:
-        __slots__ = ("a", "b", "c")
-        def __init__(self, a, b, c):
-            self.a, self.b, self.c = a, b, c
-
-    class _Elem:
-        __slots__ = ("e",)
-        def __init__(self, e):
-            self.e = e
-
-    cons = []
-    for k in range(n):
-        arow = [(int(i1[k]), _Elem(1)), (int(i2[k]), _Elem(2))]
-        brow = [(int(j1[k]), _Elem(1))]
-        aval = (wires[i1[k]] + 2 * wires[i2[k]]) % R
-        crow = [(0, _Elem(aval * wires[j1[k]] % R))]
-        cons.append(_Cons(arow, brow, crow))
-    _Tmpl.constraints = cons
-
+    log(f"groth16 bench: generating CRS (m={mat.m}) ...")
+    t0 = time.perf_counter()
     crs = GD.DeviceCRS.from_trapdoor(mat, tau=987654321, alpha=11, beta=22,
                                      gamma=33, delta=44)
-    prover = object.__new__(GD.DeviceGroth16Prover)
-    prover.mat = mat
-    prover.wires = wires
-    prover.w_mont = L.pack(wires, spec, mont=True)
-    prover.w_plain = GD._pack_fr_plain(wires)
+    jax.block_until_ready(crs.g1_u)
+    crs_s = time.perf_counter() - t0
 
+    prover = GD.DeviceGroth16Prover(mat, wit)
     log("groth16 bench: warm-up prove ...")
     proof = prover.prove_with_rs(crs, r=5, s=6)
     jax.block_until_ready(proof.a)
+    t0 = time.perf_counter()
     ok = GD.DeviceGroth16Verifier().verify(proof, crs, prover.statement())
+    verify_s = time.perf_counter() - t0
     log(f"groth16 bench: proof verifies = {ok}")
     reps = 2
     t0 = time.perf_counter()
@@ -214,7 +161,7 @@ def bench_groth16(quick: bool) -> float:
         proof = prover.prove_with_rs(crs, r=7, s=8)
     jax.block_until_ready(proof.a)
     dt = (time.perf_counter() - t0) / reps
-    return dt
+    return {"prove_s": dt, "crs_s": crs_s, "verify_s": verify_s}
 
 
 def host_msm_rate() -> float:
@@ -236,6 +183,16 @@ def host_msm_rate() -> float:
 
 
 def main():
+    # sitecustomize imports jax before this file runs, freezing env-var
+    # config reads — route the cache settings through the config API.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     quick = "--quick" in sys.argv
     extra = {}
     t_start = time.time()
@@ -253,8 +210,11 @@ def main():
         log(f"pairing bench failed: {e!r}")
 
     try:
-        extra["groth16_prove_s"] = bench_groth16(quick)
-        log(f"groth16 prove s: {extra['groth16_prove_s']:.2f}")
+        g16 = bench_groth16(quick)
+        extra["groth16_prove_s"] = g16["prove_s"]
+        extra["groth16_crs_s"] = g16["crs_s"]
+        extra["groth16_verify_s"] = g16["verify_s"]
+        log(f"groth16 prove s: {g16['prove_s']:.2f} (crs {g16['crs_s']:.1f}s)")
     except Exception as e:
         log(f"groth16 bench failed: {e!r}")
 

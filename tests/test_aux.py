@@ -7,6 +7,8 @@ import pytest
 from zk_toolkit_tpu import config
 from zk_toolkit_tpu.utils import profiling
 
+pytestmark = pytest.mark.quick
+
 
 def test_registry_curves():
     sec = config.curve("secp256k1")

@@ -13,6 +13,8 @@ import pytest
 
 from zk_toolkit_tpu.hashers import Sha256, Sha512, HmacSha256, HmacSha512
 
+pytestmark = pytest.mark.quick
+
 NIST_SHA256 = {
     b"": "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855",
     b"abc": "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad",

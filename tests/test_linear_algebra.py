@@ -7,6 +7,8 @@ from zk_toolkit_tpu.fields.polynomial import Polynomial
 from zk_toolkit_tpu.fields.sparse_vec import SparseVec
 from zk_toolkit_tpu.fields.sparse_matrix import SparseMatrix
 
+pytestmark = pytest.mark.quick
+
 F = PrimeField(3911)
 
 

@@ -10,6 +10,8 @@ import pytest
 from zk_toolkit_tpu.fields import PrimeField, PrimeFieldElems
 from zk_toolkit_tpu.utils.rng import Rng
 
+pytestmark = pytest.mark.quick
+
 SECP256K1_P = 2**256 - 2**32 - 977
 
 

@@ -16,6 +16,8 @@ from zk_toolkit_tpu.snark import gate as gate_mod
 from zk_toolkit_tpu.snark.r1cs import R1CSTmpl, R1CS, R1CSValidationError
 from zk_toolkit_tpu.snark import qap as qap_mod
 
+pytestmark = pytest.mark.quick
+
 F = PrimeField(3911)
 
 

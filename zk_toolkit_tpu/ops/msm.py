@@ -65,6 +65,16 @@ def _window_digits(scalars, c: int, w: int):
     return (limb >> shift) & jnp.uint32((1 << c) - 1)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _window_digits_group(scalars, c: int, lo: int, hi: int):
+    """Digits of windows [lo, hi) as one executable -> uint32[N, hi-lo].
+    (One dispatch per group: issuing the per-window shift/mask ops eagerly
+    costs a compile + an SPMD dispatch per window — hundreds per MSM.)"""
+    return jnp.stack(
+        [_window_digits(scalars, c, w) for w in range(lo, hi)], axis=1
+    )
+
+
 # -- segmented pairwise-merge tree -------------------------------------------
 #
 # Node invariant over a contiguous chunk of the sorted (id, point) stream:
@@ -307,9 +317,7 @@ def msm_pippenger(ops, pts, scalars, nbits: int, c: int | None = None,
             digits = _window_digits(scalars, c, ws[0])
             partials.append(tuple(x[None] for x in _msm_window(ops, pts, digits, c)))
         else:
-            digits = jnp.stack(
-                [_window_digits(scalars, c, w) for w in ws], axis=1
-            )  # [N, W]
+            digits = _window_digits_group(scalars, c, ws[0], ws[-1] + 1)  # [N, W]
             pts_b = tuple(
                 jnp.broadcast_to(
                     a[:, None], (n, len(ws)) + a.shape[1:]

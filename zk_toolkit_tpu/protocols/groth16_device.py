@@ -126,6 +126,13 @@ class CircuitMatrices:
         )
 
 
+jax.tree_util.register_dataclass(
+    CircuitMatrices,
+    data_fields=["a_idx", "b_idx", "c_idx", "a_val", "b_val", "c_val"],
+    meta_fields=["n", "n_pad", "m", "l", "kmax", "tmpl"],
+)
+
+
 @functools.partial(jax.jit, static_argnums=(4,))
 def _spmv(idx, val, w_mont, _unused, spec):
     """Padded-row sparse matrix * witness over Fr:
@@ -254,7 +261,12 @@ class DeviceCRS:
         return DeviceCRS.from_trapdoor(mat, tau, alpha, beta, gamma, delta)
 
     @staticmethod
-    def from_trapdoor(mat, tau, alpha, beta, gamma, delta) -> "DeviceCRS":
+    def from_trapdoor(mat, tau, alpha, beta, gamma, delta,
+                      host_points: bool = False) -> "DeviceCRS":
+        """host_points=True computes the CRS group elements with the host
+        tier's bigint scalar multiplication instead of the device fixed-base
+        tables — used by the CPU-mesh multichip dryrun, where compiling the
+        table-build kernels dominates wall clock for a toy circuit."""
         n_pad, m, l = mat.n_pad, mat.m, mat.l
         dom = NTT.fr_domain(n_pad)
         # Lagrange-basis values over H at tau (host bigints; O(n) work):
@@ -305,9 +317,22 @@ class DeviceCRS:
         g1_scalars = (
             [alpha, beta, delta] + u + v + uvw_stmt + uvw_wit + xt
         )
-        g1_pts = fixed_base_g1(_pack_fr_plain(g1_scalars))
         g2_scalars = [beta, gamma, delta] + v
-        g2_pts = fixed_base_g2(_pack_fr_plain(g2_scalars))
+        if host_points:
+            spec = _fq_ops().spec
+            po_ = PO.bls_pairing_ops()
+            g1_pts = C.pack_points(
+                [g1.g() * (int(s) % R) for s in g1_scalars], spec
+            )
+            xg, yg, inf = PO.pack_g2_affine(
+                [g2.g() * (int(s) % R) for s in g2_scalars], spec
+            )
+            one2 = po_.e2.one_like(xg)
+            z2 = po_.e2.select(jnp.asarray(inf), po_.e2.zero_like(xg), one2)
+            g2_pts = (xg, yg, z2)
+        else:
+            g1_pts = fixed_base_g1(_pack_fr_plain(g1_scalars))
+            g2_pts = fixed_base_g2(_pack_fr_plain(g2_scalars))
 
         def sl(pts, a, b):
             return tuple(x[a:b] for x in pts)
@@ -342,6 +367,17 @@ class DeviceCRS:
         )
 
 
+jax.tree_util.register_dataclass(
+    DeviceCRS,
+    data_fields=[
+        "g1_alpha", "g1_beta", "g1_delta", "g2_beta", "g2_gamma", "g2_delta",
+        "g1_u", "g1_v", "g2_v", "g1_uvw_stmt", "g1_uvw_wit", "g1_xt",
+        "gt_alpha_beta",
+    ],
+    meta_fields=["mat"],
+)
+
+
 def _g2_to_affine(p_jac):
     po = PO.bls_pairing_ops()
     return C.to_affine(po.e2, p_jac)
@@ -354,6 +390,65 @@ class DeviceProof:
     a: tuple   # G1 affine (x, y, inf) device arrays, batch 1
     b: tuple   # G2 affine
     c: tuple   # G1 affine
+
+
+def h_coeffs_core(mat: CircuitMatrices, w_mont):
+    """Quotient polynomial h over the NTT domain (Montgomery limbs)."""
+    spec = _fr_spec()
+    dom = NTT.fr_domain(mat.n_pad)
+    a_ev = spmv(mat.a_idx, mat.a_val, w_mont, spec)
+    b_ev = spmv(mat.b_idx, mat.b_val, w_mont, spec)
+    c_ev = spmv(mat.c_idx, mat.c_val, w_mont, spec)
+    return NTT.h_coset_then_coeffs(dom, a_ev, b_ev, c_ev)
+
+
+def prove_core(mat: CircuitMatrices, crs: DeviceCRS, w_mont, w_plain,
+               r: int, s: int):
+    """Traceable prove body: pure function of the device arrays in
+    `mat`/`crs`/witness (r, s are static ints). Returns the affine
+    (A, B, C) tuples. Callers may wrap this whole function in jax.jit
+    (mat/crs fields passed as pytree leaves) to collapse the prove into a
+    single dispatched module — the multichip dryrun does."""
+    fq = _fq_ops()
+    po = PO.bls_pairing_ops()
+    fr = _fr_spec()
+
+    h_mont = h_coeffs_core(mat, w_mont)
+    h_plain = _mont_to_plain_scalars(h_mont, fr)[: mat.n_pad - 1]
+
+    sum_a = MSM.msm_pippenger(fq, crs.g1_u, w_plain, FR_BITS)
+    sum_b2 = MSM.msm_pippenger(po.e2, crs.g2_v, w_plain, FR_BITS)
+    sum_b1 = MSM.msm_pippenger(fq, crs.g1_v, w_plain, FR_BITS)
+    wit_plain = w_plain[mat.l + 1 :]
+    c_sum = MSM.msm_pippenger(fq, crs.g1_uvw_wit, wit_plain, FR_BITS)
+    ht = MSM.msm_pippenger(fq, crs.g1_xt, h_plain, FR_BITS)
+
+    # single-point randomizer multiplies, batched into one scan
+    rs = r * s % R
+    d1 = _tile_point(crs.g1_delta, 3)
+    d1_muls = C.scalar_mul(fq, d1, _pack_fr_plain([r, s, rs]), FR_BITS)
+    d1_r = tuple(x[0:1] for x in d1_muls)
+    d1_s = tuple(x[1:2] for x in d1_muls)
+    d1_rs = tuple(x[2:3] for x in d1_muls)
+    d2_s = C.scalar_mul(po.e2, crs.g2_delta, _pack_fr_plain([s]), FR_BITS)
+
+    def b1(p):
+        return tuple(x[None] for x in p)
+
+    A = C.point_add(fq, C.point_add(fq, crs.g1_alpha, b1(sum_a)), d1_r)
+    B2 = C.point_add(
+        po.e2, C.point_add(po.e2, crs.g2_beta, b1(sum_b2)), d2_s
+    )
+    B1 = C.point_add(fq, C.point_add(fq, crs.g1_beta, b1(sum_b1)), d1_s)
+
+    a_s = C.scalar_mul(fq, A, _pack_fr_plain([s]), FR_BITS)
+    b1_r = C.scalar_mul(fq, B1, _pack_fr_plain([r]), FR_BITS)
+    Cpt = C.point_add(fq, b1(c_sum), b1(ht))
+    Cpt = C.point_add(fq, Cpt, a_s)
+    Cpt = C.point_add(fq, Cpt, b1_r)
+    Cpt = C.point_add(fq, Cpt, C.point_neg(fq, d1_rs))
+
+    return C.to_affine(fq, A), _g2_to_affine(B2), C.to_affine(fq, Cpt)
 
 
 class DeviceGroth16Prover:
@@ -383,61 +478,39 @@ class DeviceGroth16Prover:
         return self.prove_with_rs(crs, r, s)
 
     def h_coeffs_mont(self):
-        """Quotient polynomial h over the NTT domain (Montgomery limbs)."""
-        mat, spec = self.mat, _fr_spec()
-        dom = NTT.fr_domain(mat.n_pad)
-        a_ev = spmv(mat.a_idx, mat.a_val, self.w_mont, spec)
-        b_ev = spmv(mat.b_idx, mat.b_val, self.w_mont, spec)
-        c_ev = spmv(mat.c_idx, mat.c_val, self.w_mont, spec)
-        return NTT.h_coset_then_coeffs(dom, a_ev, b_ev, c_ev)
+        return h_coeffs_core(self.mat, self.w_mont)
 
     def prove_with_rs(self, crs: DeviceCRS, r: int, s: int) -> DeviceProof:
-        fq = _fq_ops()
-        po = PO.bls_pairing_ops()
-        fr = _fr_spec()
-        mat = self.mat
-
-        h_mont = self.h_coeffs_mont()
-        h_plain = _mont_to_plain_scalars(h_mont, fr)[: mat.n_pad - 1]
-
-        sum_a = MSM.msm_pippenger(fq, crs.g1_u, self.w_plain, FR_BITS)
-        sum_b2 = MSM.msm_pippenger(po.e2, crs.g2_v, self.w_plain, FR_BITS)
-        sum_b1 = MSM.msm_pippenger(fq, crs.g1_v, self.w_plain, FR_BITS)
-        wit_plain = self.w_plain[mat.l + 1 :]
-        c_sum = MSM.msm_pippenger(fq, crs.g1_uvw_wit, wit_plain, FR_BITS)
-        ht = MSM.msm_pippenger(fq, crs.g1_xt, h_plain, FR_BITS)
-
-        # single-point randomizer multiplies, batched into one scan
-        rs = r * s % R
-        d1 = _tile_point(crs.g1_delta, 3)
-        d1_muls = C.scalar_mul(fq, d1, _pack_fr_plain([r, s, rs]), FR_BITS)
-        d1_r = tuple(x[0:1] for x in d1_muls)
-        d1_s = tuple(x[1:2] for x in d1_muls)
-        d1_rs = tuple(x[2:3] for x in d1_muls)
-        d2_s = C.scalar_mul(po.e2, crs.g2_delta, _pack_fr_plain([s]), FR_BITS)
-
-        def b1(p):
-            return tuple(x[None] for x in p)
-
-        A = C.point_add(fq, C.point_add(fq, crs.g1_alpha, b1(sum_a)), d1_r)
-        B2 = C.point_add(
-            po.e2, C.point_add(po.e2, crs.g2_beta, b1(sum_b2)), d2_s
-        )
-        B1 = C.point_add(fq, C.point_add(fq, crs.g1_beta, b1(sum_b1)), d1_s)
-
-        a_s = C.scalar_mul(fq, A, _pack_fr_plain([s]), FR_BITS)
-        b1_r = C.scalar_mul(fq, B1, _pack_fr_plain([r]), FR_BITS)
-        Cpt = C.point_add(fq, b1(c_sum), b1(ht))
-        Cpt = C.point_add(fq, Cpt, a_s)
-        Cpt = C.point_add(fq, Cpt, b1_r)
-        Cpt = C.point_add(fq, Cpt, C.point_neg(fq, d1_rs))
-
-        return DeviceProof(
-            a=C.to_affine(fq, A), b=_g2_to_affine(B2), c=C.to_affine(fq, Cpt)
-        )
+        a, b, c = prove_core(self.mat, crs, self.w_mont, self.w_plain, r, s)
+        return DeviceProof(a=a, b=b, c=c)
 
 
 # -- verifier --------------------------------------------------------------------
+
+def verify_core(crs: DeviceCRS, proof_a, proof_b, proof_c, stmt_plain):
+    """Traceable verify body: device arrays in, boolean array out."""
+    fq = _fq_ops()
+    po = PO.bls_pairing_ops()
+    L_pt = MSM.msm_pippenger(fq, crs.g1_uvw_stmt, stmt_plain, FR_BITS)
+
+    ax, ay, ainf = proof_a
+    neg_a = (ax, fq.neg(ay), ainf)
+    alpha_aff = C.to_affine(fq, crs.g1_alpha)
+    l_aff = C.to_affine(fq, tuple(x[None] for x in L_pt))
+    beta_aff = _g2_to_affine(crs.g2_beta)
+    gamma_aff = _g2_to_affine(crs.g2_gamma)
+    delta_aff = _g2_to_affine(crs.g2_delta)
+
+    def cat(parts):
+        return tuple(
+            jnp.concatenate([p[i] for p in parts], axis=0)[None]
+            for i in range(3)
+        )
+
+    p_b = cat([neg_a, alpha_aff, l_aff, proof_c])
+    q_b = cat([proof_b, beta_aff, gamma_aff, delta_aff])
+    return PO.pairing_product_is_one(po, p_b, q_b)
+
 
 class DeviceGroth16Verifier:
     """e(A, B) == e(alpha, beta) * e(L_stmt, gamma) * e(C, delta)
@@ -446,27 +519,6 @@ class DeviceGroth16Verifier:
     single shared final exponentiation."""
 
     def verify(self, proof: DeviceProof, crs: DeviceCRS, statement: list[int]) -> bool:
-        fq = _fq_ops()
-        po = PO.bls_pairing_ops()
         stmt_plain = _pack_fr_plain(statement)
-        L_pt = MSM.msm_pippenger(fq, crs.g1_uvw_stmt, stmt_plain, FR_BITS)
-
-        ax, ay, ainf = proof.a
-        neg_a = (ax, fq.neg(ay), ainf)
-        alpha_aff = C.to_affine(fq, crs.g1_alpha)
-        l_aff = C.to_affine(fq, tuple(x[None] for x in L_pt))
-        c_aff = proof.c
-        beta_aff = _g2_to_affine(crs.g2_beta)
-        gamma_aff = _g2_to_affine(crs.g2_gamma)
-        delta_aff = _g2_to_affine(crs.g2_delta)
-
-        def cat(parts):
-            return tuple(
-                jnp.concatenate([p[i] for p in parts], axis=0)[None]
-                for i in range(3)
-            )
-
-        p_b = cat([neg_a, alpha_aff, l_aff, c_aff])
-        q_b = cat([proof.b, beta_aff, gamma_aff, delta_aff])
-        ok = PO.pairing_product_is_one(po, p_b, q_b)
+        ok = verify_core(crs, proof.a, proof.b, proof.c, stmt_plain)
         return bool(np.asarray(jax.device_get(ok))[0])
