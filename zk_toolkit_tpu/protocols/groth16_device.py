@@ -247,7 +247,20 @@ class DeviceCRS:
     g1_uvw_stmt: tuple  # [l+1]
     g1_uvw_wit: tuple   # [m-l]
     g1_xt: tuple        # [n_pad-1] tau^k t(tau)/delta
-    gt_alpha_beta: jnp.ndarray
+    # e(alpha_1, beta_2), used only by GT-comparison verifiers (the device
+    # verifier folds alpha/beta into its one pairing product instead) —
+    # computed lazily via gt_ab() so CRS construction never compiles the
+    # Miller loop.
+    gt_alpha_beta: jnp.ndarray | None = None
+
+    def gt_ab(self):
+        if self.gt_alpha_beta is None:
+            fq = _fq_ops()
+            po = PO.bls_pairing_ops()
+            a_aff = C.to_affine(fq, self.g1_alpha)
+            b_aff = _g2_to_affine(self.g2_beta)
+            self.gt_alpha_beta = PO.pairing_e(po, a_aff, b_aff)
+        return self.gt_alpha_beta
 
     @staticmethod
     def generate(mat: CircuitMatrices, rng: Rng | None = None) -> "DeviceCRS":
@@ -262,11 +275,18 @@ class DeviceCRS:
 
     @staticmethod
     def from_trapdoor(mat, tau, alpha, beta, gamma, delta,
-                      host_points: bool = False) -> "DeviceCRS":
-        """host_points=True computes the CRS group elements with the host
-        tier's bigint scalar multiplication instead of the device fixed-base
-        tables — used by the CPU-mesh multichip dryrun, where compiling the
-        table-build kernels dominates wall clock for a toy circuit."""
+                      host_points: bool = False,
+                      point_mode: str | None = None) -> "DeviceCRS":
+        """point_mode selects how the CRS group elements are produced:
+        - "table" (default): windowed fixed-base device tables — fastest at
+          CRS scale, but the table build itself is the heaviest compile in
+          the repo (256-entry scans over both groups).
+        - "scan": ONE batched double-and-add scan per group on device —
+          minutes cheaper to compile, used by the CPU-mesh multichip dryrun
+          and small tests (replaces round 2's host-bigint path, which burned
+          ~280 s of pure host Python before any compile started).
+        - "host": host-tier bigint scalar mults (the slow oracle path).
+        host_points=True is back-compat for "host"."""
         n_pad, m, l = mat.n_pad, mat.m, mat.l
         dom = NTT.fr_domain(n_pad)
         # Lagrange-basis values over H at tau (host bigints; O(n) work):
@@ -318,18 +338,45 @@ class DeviceCRS:
             [alpha, beta, delta] + u + v + uvw_stmt + uvw_wit + xt
         )
         g2_scalars = [beta, gamma, delta] + v
-        if host_points:
+        mode = point_mode or ("host" if host_points else "table")
+        if mode == "host":
+            # raw-int host Jacobian (utils/host_curve.py): ~1 ms per
+            # generator multiple, no device compile at all — the multichip
+            # dryrun path (round 2's object-tier version of this branch
+            # burned ~280 s of host Python here).
+            from zk_toolkit_tpu.utils import host_curve as HC
+
             spec = _fq_ops().spec
+            f1 = HC.FpHost(params.Q)
+            f2 = HC.Fp2Host(params.Q)
+            gp = g1.g()
+            qp = g2.g()
+            g1_pts = HC.pack_g1_jac(
+                HC.multi_mul(f1, (gp.x.e, gp.y.e),
+                             [int(s) % R for s in g1_scalars]),
+                spec,
+            )
+            g2_pts = HC.pack_g2_jac(
+                HC.multi_mul(
+                    f2,
+                    ((qp.x.u0.e, qp.x.u1.e), (qp.y.u0.e, qp.y.u1.e)),
+                    [int(s) % R for s in g2_scalars],
+                ),
+                spec,
+            )
+        elif mode == "scan":
+            fq_ = _fq_ops()
             po_ = PO.bls_pairing_ops()
-            g1_pts = C.pack_points(
-                [g1.g() * (int(s) % R) for s in g1_scalars], spec
+            b1_ = tuple(
+                jnp.broadcast_to(a, (len(g1_scalars),) + a.shape[1:])
+                for a in _g1_base()
             )
-            xg, yg, inf = PO.pack_g2_affine(
-                [g2.g() * (int(s) % R) for s in g2_scalars], spec
+            b2_ = tuple(
+                jnp.broadcast_to(a, (len(g2_scalars),) + a.shape[1:])
+                for a in _g2_base()
             )
-            one2 = po_.e2.one_like(xg)
-            z2 = po_.e2.select(jnp.asarray(inf), po_.e2.zero_like(xg), one2)
-            g2_pts = (xg, yg, z2)
+            g1_pts = C.scalar_mul(fq_, b1_, _pack_fr_plain(g1_scalars), FR_BITS)
+            g2_pts = C.scalar_mul(po_.e2, b2_, _pack_fr_plain(g2_scalars), FR_BITS)
         else:
             g1_pts = fixed_base_g1(_pack_fr_plain(g1_scalars))
             g2_pts = fixed_base_g2(_pack_fr_plain(g2_scalars))
@@ -352,18 +399,12 @@ class DeviceCRS:
         g2_delta = sl(g2_pts, 2, 3)
         g2_v = sl(g2_pts, 3, 3 + m + 1)
 
-        fq = _fq_ops()
-        po = PO.bls_pairing_ops()
-        a_aff = C.to_affine(fq, g1_alpha)
-        b_aff = _g2_to_affine(g2_beta)
-        gt_ab = PO.pairing_e(po, a_aff, b_aff)
         return DeviceCRS(
             mat=mat,
             g1_alpha=g1_alpha, g1_beta=g1_beta, g1_delta=g1_delta,
             g2_beta=g2_beta, g2_gamma=g2_gamma, g2_delta=g2_delta,
             g1_u=g1_u, g1_v=g1_v, g2_v=g2_v,
             g1_uvw_stmt=g1_uvw_stmt, g1_uvw_wit=g1_uvw_wit, g1_xt=g1_xt,
-            gt_alpha_beta=gt_ab,
         )
 
 

@@ -37,8 +37,13 @@ def synthetic_r1cs(f, n_constraints: int, seed: int = 0,
     n_rand = n_constraints - 1
     rows = []
     for k in range(n_rand):
-        hi = len(vals)
-        a1, a2, b1 = (int(x) for x in rng.integers(0, hi, size=3))
+        # Sample operands from every live wire EXCEPT index 2 (Out): its value
+        # is only fixed by the final root gate below, so a gate reading it
+        # before then would bind the pre-patch placeholder and invalidate the
+        # R1CS (this exact bug broke every n >= ~64 instance in round 2).
+        hi = len(vals) - 1
+        a1, a2, b1 = (int(x) if x < 2 else int(x) + 1
+                      for x in rng.integers(0, hi, size=3))
         av = (vals[a1] + 2 * vals[a2]) % p
         cv = av * vals[b1] % p
         terms.append(T.TmpVar(k + 1))
