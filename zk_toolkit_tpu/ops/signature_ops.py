@@ -154,22 +154,15 @@ def ed25519_verify_batch(sigs: np.ndarray, pub_keys: np.ndarray, msgs: np.ndarra
     """Batched RFC 8032 verify: 8S B == 8R + 8k A (reference
     ed25519_sha512.rs:160-186, incl. the cofactor-8 form). sigs uint8[B, 64],
     pub_keys uint8[B, 32], msgs uint8[B, L] equal length. Point decoding
-    (x-recovery square root) is host-side per key; the three scalar muls and
-    the k digest run batched on device."""
+    (batched sqrt x-recovery), the three scalar muls, and the k digest all
+    run on device; host work is byte packing only."""
     b = sigs.shape[0]
-    host = __import__("zk_toolkit_tpu.signatures.ed25519", fromlist=["Ed25519Sha512"])
-    eng = host.Ed25519Sha512()
 
-    r_pts, a_pts, decode_ok = [], [], []
-    for i in range(b):
-        try:
-            r_pts.append(eng._decode_point(bytes(sigs[i, :32].tobytes())))
-            a_pts.append(eng._decode_point(bytes(pub_keys[i].tobytes())))
-            decode_ok.append(True)
-        except Exception:
-            r_pts.append(_ED.B())
-            a_pts.append(_ED.B())
-            decode_ok.append(False)
+    # R and A decode on DEVICE: batched sqrt x-recovery + parity select
+    # (ops/edwards_ops.decode_points) — no per-element host crypto.
+    dev_r, r_ok = E.decode_points(sigs[:, :32])
+    dev_a, a_ok = E.decode_points(pub_keys)
+    decode_ok = np.asarray(jax.device_get(r_ok & a_ok))
 
     # k = SHA512(R || A || msg) mod l, batched on device
     kin = np.concatenate([sigs[:, :32], pub_keys, msgs], axis=1)
@@ -179,8 +172,6 @@ def ed25519_verify_batch(sigs: np.ndarray, pub_keys: np.ndarray, msgs: np.ndarra
     s_in_range = [v < _ELL for v in ss]
 
     dev_b = _tile(E.pack_points([_ED.B()] * 1), b)
-    dev_r = E.pack_points(r_pts)
-    dev_a = E.pack_points(a_pts)
     s8 = C.pack_scalars([v * 8 for v in ss], 260)
     k8 = C.pack_scalars([k * 8 % (_ELL * 8) for k in ks], 260)
     eight = C.pack_scalars([8] * b, 260)
@@ -193,7 +184,7 @@ def ed25519_verify_batch(sigs: np.ndarray, pub_keys: np.ndarray, msgs: np.ndarra
     rx, ry = E.to_affine(rhs)
     eq = jnp.all(lx == rx, axis=-1) & jnp.all(ly == ry, axis=-1)
     ok = np.asarray(jax.device_get(eq))
-    return np.asarray(decode_ok) & ok & np.asarray(s_in_range)
+    return decode_ok & ok & np.asarray(s_in_range)
 
 
 def ed25519_sign_batch(prv_keys: np.ndarray, msgs: np.ndarray) -> np.ndarray:
@@ -235,16 +226,9 @@ def ed25519_sign_batch(prv_keys: np.ndarray, msgs: np.ndarray) -> np.ndarray:
 
 
 def _encode_points_batch(p_ext) -> np.ndarray:
-    """Batched point encoding: y LE bytes with the x-parity bit in the top
-    bit (reference ed25519_sha512.rs:63-83)."""
-    xs_ys = E.unpack_points(p_ext)
-    out = np.zeros((len(xs_ys), 32), dtype=np.uint8)
-    for i, (x, y) in enumerate(xs_ys):
-        enc = bytearray(y.to_bytes(32, "little"))
-        if x & 1:
-            enc[31] |= 0x80
-        out[i] = np.frombuffer(bytes(enc), dtype=np.uint8)
-    return out
+    """Batched point encoding — device byte assembly (edwards_ops
+    encode_points); kept as an alias for callers/tests."""
+    return E.encode_points(p_ext)
 
 
 # -- BLS ----------------------------------------------------------------------------

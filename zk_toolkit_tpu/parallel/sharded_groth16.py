@@ -1,34 +1,37 @@
 """Explicit-SPMD Groth16 prove over a device mesh (shard_map + collectives).
 
-Round 2's sharded prove placed auto-SPMD-sharded inputs under the production
-prover's many small executables; nothing guaranteed every executable issued
-the same collectives on every device, and the run died in an all-gather
-rendezvous (8 participants expected, 6 arrived). This module is the redesign:
-the WHOLE sharded prove is ONE `jax.shard_map` region inside ONE `jax.jit`
-module, so every device executes the identical program with an identical,
-explicit collective schedule:
+History of this path (the driver's multichip acceptance gate):
+- Round 2 placed auto-SPMD-sharded inputs under the production prover's many
+  small executables; nothing guaranteed every executable issued the same
+  collectives on every device and the run died in an all-gather rendezvous.
+- Round 3 fused the WHOLE prove into one jit+shard_map module; the collective
+  schedule became trivially uniform, but XLA-CPU needed >6 minutes to compile
+  the one giant module and the gate timed out (MULTICHIP_r03, ADVICE.md r3).
 
-  1. `all_gather` of the locally-computed SpMV evaluations,
-  2. `all_gather` of the per-device G1 MSM partial points,
-  3. `all_gather` of the per-device G2 MSM partial point.
+This round keeps round 3's explicit-collective design but splits the prove
+into FIVE small modules, so each compiles in seconds and the scan bodies are
+not re-inlined into one mega-graph:
 
-Three collectives per prove, all unconditional, all shape-static. Everything
-else is local or replicated compute.
+  1. `_spmv_gather_jit`   shard_map, 1 all_gather  — local SpMV, gather evals
+  2. `_h_from_evs_jit`    plain jit, replicated    — NTT coset quotient
+  3. `_local_msm_g1_jit`  shard_map, NO collectives — ONE G1 double-and-add
+     scan over the five concatenated local MSM segments + a scan-based
+     segmented accumulator (one inlined group-law instance total)
+  4. `_local_msm_g2_jit`  shard_map, NO collectives — ONE G2 scan + fold
+  5. `_combine_jit`       shard_map, 2 all_gathers — gather per-device
+     partials, fold over the device axis with a scanned add (works for ANY
+     device count, not just powers of two — ADVICE.md r3 #3), assemble proof
 
-Compile-cost design (the other half of the round-1/2 failures — XLA-CPU
-needs minutes per big scan body, and the dryrun gate compiles cold):
+Collective schedule per prove: 3 unconditional, shape-static all_gathers
+(evals, G1 partials, G2 partials), all inside single-collective thin modules
+executed in program order by every device. Modules 3 and 4 — the heavy
+compiles — contain no collectives at all, so there is no rendezvous to
+deadlock: a straggler can only be late, not inconsistent.
 
-  - ONE G1 double-and-add scan and ONE G2 scan total. All five G1 MSMs ride
-    one scan by concatenating their (points, scalars) streams locally.
-  - The prover randomizer terms never touch the device: by the identity
-        sA + rB1 - rs*delta = s*alpha + r*beta + rs*delta + s*U + r*V
-    (U = sum a_i u_i, V = sum a_i v_i in G1), the C element needs only two
-    extra MSM segments with host-scaled scalars (s*a_i, r*a_i) plus ONE
-    host-precomputed point K = s*alpha + r*beta + rs*delta; A needs r*delta
-    and B2 needs s*delta_2, both host-precomputed (utils/host_curve.py raw
-    int Jacobian math, ~1 ms per multiple). B1 itself is never materialized.
-  - Jacobian -> affine conversion happens outside the shard_map module on
-    the replicated outputs (small separate executables, no collectives).
+Compile-cost inventory per module (the round-1..3 failure axis): one scan
+body each for modules 3/4 (double-and-add) plus one scanned point_add for
+the folds; module 5 inlines three small scanned adds; modules 1/2 are
+elementwise limb code. Nothing inlines log2(n) unrolled group-law trees.
 
 Data placement (the ZK analogs of dp/sp axes — SURVEY.md §5 long-context
 note: the scaling axes here are the constraint and point-stream axes):
@@ -37,9 +40,13 @@ note: the scaling axes here are the constraint and point-stream axes):
     streams: sharded over `axis`
   - witness vector, single points, NTT quotient, proof assembly: replicated
 
-The cross-device MSM reduction gathers the per-device partial Jacobian
-points and folds them with log2(D) batched adds on every device (replicated
-result; point addition is not an elementwise sum, so no point-typed psum).
+The prover randomizer terms never touch the device: by the identity
+    sA + rB1 - rs*delta = s*alpha + r*beta + rs*delta + s*U + r*V
+(U = sum a_i u_i, V = sum a_i v_i in G1), the C element needs only two extra
+MSM segments with host-scaled scalars (s*a_i, r*a_i) plus ONE
+host-precomputed point K = s*alpha + r*beta + rs*delta; A needs r*delta and
+B2 needs s*delta_2, both host-precomputed (utils/host_curve.py raw-int
+Jacobian math, ~1 ms per multiple). B1 itself is never materialized.
 
 Behavioral spec: the prove dataflow of the reference's Groth16 prover
 (reference zk/w_trusted_setup/groth16/zktoolkit_based/prover.rs:96-147);
@@ -75,6 +82,183 @@ def _fr_spec():
     return L.field_spec(params.R)
 
 
+# Scan-based point folds (ops/curve_ops.py scan_fold / segmented_sum): ONE
+# lax.scan whose body inlines a single point_add — compile cost is one
+# group-law instance regardless of stream length, segment count, or device
+# count. The unrolled pad-to-pow2 trees they replace inlined one instance per
+# level per segment and pushed the fused prove module past XLA-CPU's
+# 6-minute compile alarm (MULTICHIP_r03).
+_segmented_sum = C.segmented_sum
+_scan_fold = C.scan_fold
+
+
+# -- module 1: sharded SpMV + eval gather ------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def _spmv_gather_jit(mesh, axis, a_idx, a_val, b_idx, b_val, c_idx, c_val,
+                     w_mont):
+    fr = _fr_spec()
+    shp = lambda a: P(axis, *([None] * (a.ndim - 1)))
+    rep = lambda a: P(*([None] * a.ndim))
+
+    def local(a_idx, a_val, b_idx, b_val, c_idx, c_val, w_mont):
+        from zk_toolkit_tpu.protocols.groth16_device import _spmv
+
+        a_ev = _spmv(a_idx, a_val, w_mont, None, fr)
+        b_ev = _spmv(b_idx, b_val, w_mont, None, fr)
+        c_ev = _spmv(c_idx, c_val, w_mont, None, fr)
+        evs = jnp.stack([a_ev, b_ev, c_ev], axis=0)     # [3, local, K]
+        # collective 1 of 3: assemble the full evaluation vectors everywhere
+        return jax.lax.all_gather(evs, axis, axis=1, tiled=True)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(shp(a_idx), shp(a_val), shp(b_idx), shp(b_val),
+                  shp(c_idx), shp(c_val), rep(w_mont)),
+        out_specs=P(None, None, None),
+        check_vma=False,
+    )
+    return fn(a_idx, a_val, b_idx, b_val, c_idx, c_val, w_mont)
+
+
+# -- module 2: replicated NTT quotient ---------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _h_from_evs_jit(n_pad, evs):
+    dom = NTT.fr_domain(n_pad)
+    h_mont = NTT.h_coset_then_coeffs(dom, evs[0], evs[1], evs[2])
+    # h has n_pad-1 coefficients; the extra INTT output row pairs with a
+    # padded infinity point, so its value is irrelevant.
+    return L.from_mont(h_mont, _fr_spec())
+
+
+# -- module 3: local G1 MSM scan (no collectives) ----------------------------
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "segs"))
+def _local_msm_g1_jit(mesh, axis, segs, g1_u, g1_wit, g1_xt, g1_v,
+                      u_scal, wit_scal, h_plain, su_scal, rv_scal):
+    fq = _fq()
+    shp = lambda a: P(axis, *([None] * (a.ndim - 1)))
+    tshp = lambda t: tuple(shp(x) for x in t)
+
+    def local(g1_u, g1_wit, g1_xt, g1_v, u_scal, wit_scal, h_loc, su_scal,
+              rv_scal):
+        # ONE scan over the concatenated segments [U | wit | xt | s*U | r*V]
+        pts = tuple(
+            jnp.concatenate([u, w_, xt, u, v], axis=0)
+            for u, w_, xt, v in zip(g1_u, g1_wit, g1_xt, g1_v)
+        )
+        scal = jnp.concatenate(
+            [u_scal, wit_scal, h_loc, su_scal, rv_scal], axis=0
+        )
+        muls = C.scalar_mul(fq, pts, scal, FR_BITS)
+        seg_ids = jnp.repeat(
+            jnp.arange(len(segs), dtype=jnp.int32), jnp.asarray(segs),
+            total_repeat_length=sum(segs),
+        )
+        return _segmented_sum(fq, muls, seg_ids, len(segs))  # [5, ...]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(tshp(g1_u), tshp(g1_wit), tshp(g1_xt), tshp(g1_v),
+                  shp(u_scal), shp(wit_scal), shp(h_plain), shp(su_scal),
+                  shp(rv_scal)),
+        out_specs=tuple(P(axis, None) for _ in range(3)),
+        check_vma=False,
+    )
+    return fn(g1_u, g1_wit, g1_xt, g1_v, u_scal, wit_scal, h_plain, su_scal,
+              rv_scal)
+
+
+# -- module 4: local G2 MSM scan (no collectives) ----------------------------
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def _local_msm_g2_jit(mesh, axis, g2_v, u_scal):
+    po = PO.bls_pairing_ops()
+    shp = lambda a: P(axis, *([None] * (a.ndim - 1)))
+    tshp = lambda t: tuple(shp(x) for x in t)
+
+    def local(g2_v, u_scal):
+        muls = C.scalar_mul(po.e2, g2_v, u_scal, FR_BITS)
+        part = _scan_fold(po.e2, muls)
+        return tuple(a[None] for a in part)              # [1, ...]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(tshp(g2_v), shp(u_scal)),
+        out_specs=tuple(P(axis, None, None) for _ in range(3)),
+        check_vma=False,
+    )
+    return fn(g2_v, u_scal)
+
+
+# -- module 5: gather partials, fold, assemble -------------------------------
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "d", "n_seg"))
+def _combine_jit(mesh, axis, d, n_seg, g1_parts, g2_parts,
+                 g1_alpha, g1_rd, g1_k, g2_beta, g2_sd):
+    fq = _fq()
+    po = PO.bls_pairing_ops()
+    e2 = po.e2
+    shp = lambda a: P(axis, *([None] * (a.ndim - 1)))
+    rep = lambda a: P(*([None] * a.ndim))
+    tshp = lambda t: tuple(shp(x) for x in t)
+    trep = lambda t: tuple(rep(x) for x in t)
+
+    def local(g1_parts, g2_parts, g1_alpha, g1_rd, g1_k, g2_beta, g2_sd):
+        # collectives 2+3 of 3: exchange the per-device partial points
+        g1_all = tuple(
+            jax.lax.all_gather(x, axis, axis=0, tiled=True) for x in g1_parts
+        )                                                # [D * n_seg, ...]
+        g2_all = tuple(
+            jax.lax.all_gather(x, axis, axis=0, tiled=True) for x in g2_parts
+        )                                                # [D, ...]
+        g1_dev = tuple(
+            a.reshape((d, n_seg) + a.shape[1:]) for a in g1_all
+        )
+        g1_sums = _scan_fold(fq, g1_dev)                 # [n_seg, ...]
+        sum_b2 = _scan_fold(e2, g2_all)                  # [1?, ...] -> row
+        s_u = tuple(x[0] for x in g1_sums)
+        s_wit = tuple(x[1] for x in g1_sums)
+        s_xt = tuple(x[2] for x in g1_sums)
+        s_su = tuple(x[3] for x in g1_sums)
+        s_rv = tuple(x[4] for x in g1_sums)
+
+        # A  = alpha + U + r*delta
+        # B2 = beta_2 + V_2 + s*delta_2
+        # C  = wit + ht + s*U + r*V + (s*alpha + r*beta + rs*delta)
+        def stack1(rows):
+            return tuple(
+                jnp.stack([r[i] for r in rows], axis=0) for i in range(3)
+            )
+
+        a1 = tuple(x[0] for x in g1_alpha)
+        rd1 = tuple(x[0] for x in g1_rd)
+        k1 = tuple(x[0] for x in g1_k)
+        A = _scan_fold(fq, stack1([a1, s_u, rd1]))
+        Cp = _scan_fold(fq, stack1([s_wit, s_xt, s_su, s_rv, k1]))
+        b21 = tuple(x[0] for x in g2_beta)
+        sd1 = tuple(x[0] for x in g2_sd)
+        B2 = _scan_fold(e2, stack1([b21, sum_b2, sd1]))
+
+        one = lambda t: tuple(a[None] for a in t)
+        return one(A), one(B2), one(Cp)
+
+    jac1 = tuple(P(None, None) for _ in range(3))
+    jac2 = tuple(P(None, None, None) for _ in range(3))
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(tshp(g1_parts), tshp(g2_parts),
+                  trep(g1_alpha), trep(g1_rd), trep(g1_k), trep(g2_beta),
+                  trep(g2_sd)),
+        out_specs=(jac1, jac2, jac1),
+        check_vma=False,
+    )
+    return fn(g1_parts, g2_parts, g1_alpha, g1_rd, g1_k, g2_beta, g2_sd)
+
+
+# -- host helpers -------------------------------------------------------------
+
 def _pad_stream(ops, pts, scalars, d: int):
     """Pad a (points, scalars) stream to a multiple of d with infinity points
     and zero scalars (contribute nothing to the MSM)."""
@@ -90,32 +274,6 @@ def _pad_stream(ops, pts, scalars, d: int):
     )
     z = jnp.zeros((pad,) + scalars.shape[1:], dtype=scalars.dtype)
     return pts, jnp.concatenate([scalars, z], axis=0)
-
-
-def _tree_fold(ops, pts):
-    """Fold the leading axis (power of two) with log2 batched adds down to
-    leading axis 1."""
-    n = pts[0].shape[0]
-    while n > 1:
-        half = n // 2
-        pts = C.point_add(
-            ops, tuple(a[:half] for a in pts), tuple(a[half:] for a in pts)
-        )
-        n = half
-    return pts
-
-
-def _fold_segment(ops, pts):
-    """Sum a small Jacobian batch to one point (pad to pow2 + tree)."""
-    return _tree_fold(ops, C.pad_to_pow2(ops, pts))
-
-
-def _fold_gathered(ops, pts, d: int):
-    """[D * B, ...] gathered partials -> [B, ...] summed over the D axis."""
-    b = pts[0].shape[0] // d
-    pts = tuple(a.reshape((d, b) + a.shape[1:]) for a in pts)
-    pts = _tree_fold(ops, pts)
-    return tuple(a[0] for a in pts)
 
 
 def _unpack_g1_host(pt, spec):
@@ -136,126 +294,7 @@ def _unpack_g2_host(pt, spec):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis", "n_pad", "segs"))
-def _sharded_prove_jit(
-    mesh, axis, n_pad, segs,
-    a_idx, a_val, b_idx, b_val, c_idx, c_val,
-    w_mont, u_scal, wit_scal, su_scal, rv_scal,
-    g1_u, g1_v, g1_wit, g1_xt, g2_v,
-    g1_alpha, g1_rd, g1_k, g2_beta, g2_sd,
-):
-    fq = _fq()
-    po = PO.bls_pairing_ops()
-    fr = _fr_spec()
-    e2 = po.e2
-    d = mesh.shape[axis]
-    dom = NTT.fr_domain(n_pad)
-
-    shp = lambda a: P(axis, *([None] * (a.ndim - 1)))
-    rep = lambda a: P(*([None] * a.ndim))
-    tshp = lambda t: tuple(shp(x) for x in t)
-    trep = lambda t: tuple(rep(x) for x in t)
-
-    in_specs = (
-        shp(a_idx), shp(a_val), shp(b_idx), shp(b_val),
-        shp(c_idx), shp(c_val),
-        rep(w_mont), shp(u_scal), shp(wit_scal), shp(su_scal), shp(rv_scal),
-        tshp(g1_u), tshp(g1_v), tshp(g1_wit), tshp(g1_xt), tshp(g2_v),
-        trep(g1_alpha), trep(g1_rd), trep(g1_k), trep(g2_beta), trep(g2_sd),
-    )
-    jac1 = (P(None, None), P(None, None), P(None, None))
-    jac2 = (P(None, None, None), P(None, None, None), P(None, None, None))
-    out_specs = (jac1, jac2, jac1)
-
-    def prove(a_idx, a_val, b_idx, b_val, c_idx, c_val,
-              w_mont, u_scal, wit_scal, su_scal, rv_scal,
-              g1_u, g1_v, g1_wit, g1_xt, g2_v,
-              g1_alpha, g1_rd, g1_k, g2_beta, g2_sd):
-        # -- 1. local SpMV over the local constraint rows ------------------
-        from zk_toolkit_tpu.protocols.groth16_device import _spmv
-
-        a_ev = _spmv(a_idx, a_val, w_mont, None, fr)
-        b_ev = _spmv(b_idx, b_val, w_mont, None, fr)
-        c_ev = _spmv(c_idx, c_val, w_mont, None, fr)
-        evs = jnp.stack([a_ev, b_ev, c_ev], axis=0)      # [3, local, K]
-        # collective 1: assemble the full evaluation vectors everywhere
-        evs = jax.lax.all_gather(evs, axis, axis=1, tiled=True)
-
-        # -- 2. replicated NTT quotient (n_pad is small next to the MSMs) --
-        h_mont = NTT.h_coset_then_coeffs(dom, evs[0], evs[1], evs[2])
-        h_plain = L.from_mont(h_mont, fr)
-        # h has n_pad-1 coefficients; the extra INTT output row pairs with a
-        # padded infinity point, so its value is irrelevant.
-        chunk = n_pad // d
-        rank = jax.lax.axis_index(axis)
-        h_loc = jax.lax.dynamic_slice_in_dim(
-            h_plain, rank * chunk, chunk, axis=0
-        )
-
-        # -- 3. ONE local G1 scan over the concatenated MSM segments -------
-        #    [U | wit | xt | s*U-part | r*V-part]
-        pts_loc = tuple(
-            jnp.concatenate([u, w_, xt, u, v], axis=0)
-            for u, w_, xt, v in zip(g1_u, g1_wit, g1_xt, g1_v)
-        )
-        scal_loc = jnp.concatenate(
-            [u_scal, wit_scal, h_loc, su_scal, rv_scal], axis=0
-        )
-        muls = C.scalar_mul(fq, pts_loc, scal_loc, FR_BITS)
-        parts = []
-        off = 0
-        for ln in segs:
-            parts.append(
-                _fold_segment(fq, tuple(a[off : off + ln] for a in muls))
-            )
-            off += ln
-        g1_part = tuple(
-            jnp.concatenate([p[i] for p in parts], axis=0) for i in range(3)
-        )                                                # [5, ...]
-        # ONE local G2 scan
-        muls2 = C.scalar_mul(e2, g2_v, u_scal, FR_BITS)
-        pb2 = _fold_segment(e2, muls2)                   # [1, ...]
-
-        # collectives 2+3: exchange the partial points
-        n_seg = len(segs)
-        g1_all = tuple(
-            jax.lax.all_gather(x, axis, axis=0, tiled=True) for x in g1_part
-        )                                                # [5D, ...]
-        g2_all = tuple(
-            jax.lax.all_gather(x, axis, axis=0, tiled=True) for x in pb2
-        )                                                # [D, ...]
-        g1_sums = _fold_gathered(fq, g1_all, d)          # [5, ...]
-        sum_b2 = _fold_gathered(e2, g2_all, d)           # [1, ...]
-
-        s_u = tuple(x[0:1] for x in g1_sums)
-        s_wit = tuple(x[1:2] for x in g1_sums)
-        s_xt = tuple(x[2:3] for x in g1_sums)
-        s_su = tuple(x[3:4] for x in g1_sums)
-        s_rv = tuple(x[4:5] for x in g1_sums)
-
-        # -- 4. replicated proof assembly -----------------------------------
-        # A  = alpha + U + r*delta
-        # B2 = beta_2 + V_2 + s*delta_2
-        # C  = wit + ht + s*U + r*V + (s*alpha + r*beta + rs*delta)
-        A = C.point_add(fq, C.point_add(fq, g1_alpha, s_u), g1_rd)
-        B2 = C.point_add(e2, C.point_add(e2, g2_beta, sum_b2), g2_sd)
-        Cp = C.point_add(fq, s_wit, s_xt)
-        Cp = C.point_add(fq, Cp, s_su)
-        Cp = C.point_add(fq, Cp, s_rv)
-        Cp = C.point_add(fq, Cp, g1_k)
-        return A, B2, Cp
-
-    fn = jax.shard_map(
-        prove, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False,
-    )
-    return fn(
-        a_idx, a_val, b_idx, b_val, c_idx, c_val,
-        w_mont, u_scal, wit_scal, su_scal, rv_scal,
-        g1_u, g1_v, g1_wit, g1_xt, g2_v,
-        g1_alpha, g1_rd, g1_k, g2_beta, g2_sd,
-    )
-
+# -- public entry -------------------------------------------------------------
 
 def sharded_prove(mesh, mat, crs, wires, r: int, s: int, axis: str = "shard"):
     """Groth16 prove with the constraint/point axes sharded over `mesh`.
@@ -321,13 +360,30 @@ def sharded_prove(mesh, mat, crs, wires, r: int, s: int, axis: str = "shard"):
     cw = (mat.m + 1) // d
     segs = (cw, g1_wit[0].shape[0] // d, mat.n_pad // d, cw, cw)
 
-    A, B2, Cp = _sharded_prove_jit(
-        mesh, axis, mat.n_pad, segs,
+    # modules 1+2: sharded SpMV -> replicated quotient coefficients
+    evs = _spmv_gather_jit(
+        mesh, axis,
         jnp.asarray(mat.a_idx), jnp.asarray(mat.a_val),
         jnp.asarray(mat.b_idx), jnp.asarray(mat.b_val),
         jnp.asarray(mat.c_idx), jnp.asarray(mat.c_val),
-        w_mont, u_scal, wit_scal, su_scal, rv_scal,
-        crs.g1_u, crs.g1_v, g1_wit, g1_xt, crs.g2_v,
+        w_mont,
+    )
+    h_plain = _h_from_evs_jit(mat.n_pad, evs)
+
+    # modules 3+4: local MSM scans (collective-free)
+    g1_parts = _local_msm_g1_jit(
+        mesh, axis, segs, crs.g1_u, g1_wit, g1_xt, crs.g1_v,
+        u_scal, wit_scal, h_plain, su_scal, rv_scal,
+    )
+    g2_parts = _local_msm_g2_jit(mesh, axis, crs.g2_v, u_scal)
+    # Barrier before the collective module: bounds per-device queue skew so
+    # no device reaches module 5's all_gather rendezvous >40 s before a
+    # straggler (XLA-CPU aborts past that window — see sharded_msm.py).
+    jax.block_until_ready((g1_parts, g2_parts))
+
+    # module 5: gather + fold + assemble
+    A, B2, Cp = _combine_jit(
+        mesh, axis, d, len(segs), g1_parts, g2_parts,
         crs.g1_alpha, g1_rd, g1_k, crs.g2_beta, g2_sd,
     )
     a_aff = C.to_affine(fq, A)

@@ -22,6 +22,8 @@ as the single-device module.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -71,3 +73,58 @@ def sharded_msm_pippenger(ops, pts, scalars, nbits: int, mesh: Mesh,
     pts, scalars = _pad_to_multiple(ops, pts, scalars, d)
     pts, scalars = _place(mesh, axis, pts, scalars)
     return M.msm_pippenger(ops, pts, scalars, nbits, c=c)
+
+
+# -- explicit two-phase sharded MSM ------------------------------------------
+#
+# The BASELINE.json north star spelled out: "MSM points and bucket sums
+# partitioned over chips with all-reduce". Phase 1 reshapes the stream to
+# [D, n/D] with the device axis sharded and runs ONE batched Pippenger
+# (ops/msm.py msm_pippenger_many) — every stage is elementwise along the
+# device axis, so XLA partitions every executable with ZERO collectives
+# (asserted over the compiled HLO in tests/test_parallel.py). Phase 2 is a
+# thin shard_map that all_gathers the D partial points and folds them with a
+# scanned add — the ONLY cross-chip traffic is D-1 Jacobian points per MSM,
+# independent of stream length.
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "ops"))
+def _gather_fold_jit(mesh, axis, ops, parts):
+    shp = lambda a: P(axis, *([None] * (a.ndim - 1)))
+    rep = lambda a: P(*([None] * (a.ndim - 1)))
+
+    def local(parts):
+        full = tuple(
+            jax.lax.all_gather(x, axis, axis=0, tiled=True) for x in parts
+        )                                                # [D, ...]
+        return C.scan_fold(ops, full)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(tuple(shp(a) for a in parts),),
+        out_specs=tuple(rep(a) for a in parts),
+        check_vma=False,
+    )
+    return fn(parts)
+
+
+def sharded_msm_explicit(ops, pts, scalars, nbits: int, mesh: Mesh,
+                         axis: str = "shard", c: int | None = None):
+    """Two-phase sharded Pippenger: collective-free per-device local MSMs
+    ([D, n/D] batched pass) + one D-point all_gather/fold. Returns a single
+    Jacobian point tuple (no batch axis)."""
+    d = mesh.shape[axis]
+    pts, scalars = _pad_to_multiple(ops, pts, scalars, d)
+    n = pts[0].shape[0]
+    pts_r = tuple(a.reshape((d, n // d) + a.shape[1:]) for a in pts)
+    scal_r = scalars.reshape((d, n // d) + scalars.shape[1:])
+    pts_r, scal_r = _place(mesh, axis, pts_r, scal_r)
+    parts = M.msm_pippenger_many(ops, pts_r, scal_r, nbits, c=c)  # [D, ...]
+    # Barrier before the collective module: phase 1 is a chain of many small
+    # async dispatches, and per-device queues drift apart — on XLA-CPU a
+    # device arriving at the all_gather rendezvous more than 40 s after the
+    # first aborts the process (rendezvous.cc termination; the true mechanism
+    # behind round 2's "6 of 8 arrived" deadlock). Syncing here bounds the
+    # skew to one module's execution variance. On real TPU collectives are
+    # hardware-sequenced and this is just one host sync per MSM.
+    jax.block_until_ready(parts)
+    return _gather_fold_jit(mesh, axis, ops, parts)

@@ -1,0 +1,178 @@
+"""Weak-scaling measurement + HLO collective evidence on the virtual CPU mesh.
+
+Run as a module in its OWN process (bench.py spawns it with JAX_PLATFORMS=cpu,
+8 virtual devices, O0 backend flags, and --xla_dump_to set):
+
+    python -m zk_toolkit_tpu.parallel.weak_scaling
+
+Prints ONE JSON object on stdout.
+
+What it measures (BASELINE.md row 4 asks for >=80% weak-scaling efficiency on
+a real pod; no pod exists in this environment, so the CPU mesh supplies the
+two honest proxies):
+
+1. Wall time for the explicit two-phase sharded MSM and the sharded NTT at
+   fixed PER-DEVICE problem size, d = 1 vs d = 8. CPU-mesh caveat, stated
+   where the number is reported: all virtual devices share one physical CPU,
+   so per-device compute serializes and the times cannot show real-pod
+   scaling — they bound the *communication+partition overhead* instead
+   (ideal on real hardware: t(d) == t(1); on a shared CPU: t(d) <= d*t(1),
+   with the gap between t(d) and d*t(1) being XLA's parallel speedup).
+2. The collective inventory of every module XLA actually compiled, from the
+   --xla_dump_to HLO dumps: the MSM local phase must contain NO collectives
+   (points/buckets partitioned per device), and only the thin gather/fold
+   module may move points — D-1 Jacobian points per MSM, independent of
+   stream length. This is the "no full-stream all-gather" evidence VERDICT
+   round 2 item 5 demanded.
+
+Every timed MSM is also correctness-checked against the known-dlog host
+oracle (points are k_i*G with known k_i), and the NTT against the unsharded
+transform.
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+
+def _collective_inventory(dump_dir: str) -> dict:
+    """Scan XLA dump dir: per-module counts of collective HLO ops."""
+    pat = re.compile(
+        r"\b(all-gather|all-reduce|all-to-all|collective-permute|"
+        r"reduce-scatter|all-gather-start|all-reduce-start)\b"
+    )
+    per_module = collections.defaultdict(collections.Counter)
+    for path in glob.glob(os.path.join(dump_dir, "*after_optimizations.txt")):
+        base = os.path.basename(path)
+        m = re.match(r"module_\d+\.(jit_[A-Za-z0-9_]+)", base)
+        name = m.group(1) if m else base
+        with open(path) as f:
+            text = f.read()
+        for hit in pat.findall(text):
+            per_module[name][hit] += 1
+    return {
+        k: dict(v) for k, v in sorted(per_module.items()) if v
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zk_toolkit_tpu.curves.bls12_381 import g1, params
+    from zk_toolkit_tpu.ops import curve_ops as C, limbs as L
+    from zk_toolkit_tpu.ops import ntt as NTT
+    from zk_toolkit_tpu.ops.field_ops import FqOps
+    from zk_toolkit_tpu.parallel.mesh import make_mesh, shard_leading
+    from zk_toolkit_tpu.parallel.sharded_msm import sharded_msm_explicit
+    from zk_toolkit_tpu.utils import host_curve as HC
+
+    dump_dir = os.environ.get("ZKT_XLA_DUMP_DIR", "")
+    n_local = int(os.environ.get("ZKT_SCALING_N_LOCAL", 1024))
+    nbits = 64
+    d_max = int(os.environ.get("ZKT_SCALING_D", 8))
+    out: dict = {"msm": {}, "ntt": {},
+                 "n_local_points": n_local, "scalar_bits": nbits}
+
+    spec = L.field_spec(params.Q)
+    ops = FqOps(spec)
+    F1 = HC.FpHost(params.Q)
+    gp = g1.g()
+
+    # known-dlog point stream: P_i = k_i * G (host Jacobian, ~1 ms each)
+    rng = np.random.default_rng(17)
+    n_total = n_local * d_max
+    dlogs = [int(x) for x in rng.integers(1, 1 << 62, size=n_total)]
+    affs = HC.multi_mul(F1, (gp.x.e, gp.y.e), dlogs)
+    pts_all = HC.pack_g1_jac(affs, spec)
+    scal_ints = [int(x) for x in rng.integers(0, 1 << nbits, size=n_total)]
+    scal_all = C.pack_scalars(scal_ints, nbits)
+
+    def host_expected(n):
+        tot = sum(k * s for k, s in zip(dlogs[:n], scal_ints[:n])) % params.R
+        return HC.jac_to_affine(
+            F1, HC.jac_mul(F1, HC.from_affine(F1, (gp.x.e, gp.y.e)), tot)
+        )
+
+    for d in (1, d_max):
+        mesh = make_mesh(d, platform="cpu")
+        n = n_local * d
+        pts = tuple(a[:n] for a in pts_all)
+        scal = scal_all[:n]
+        t_c0 = time.time()
+        res = sharded_msm_explicit(ops, pts, scal, nbits, mesh, c=4)
+        jax.block_until_ready(res)
+        compile_s = time.time() - t_c0
+        got = C.unpack_points(tuple(a[None] for a in res), spec)[0]
+        want = host_expected(n)
+        if got != want:
+            print(json.dumps({"error": f"sharded MSM wrong at d={d}"}))
+            sys.exit(1)
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            res = sharded_msm_explicit(ops, pts, scal, nbits, mesh, c=4)
+        jax.block_until_ready(res)
+        out["msm"][str(d)] = {
+            "seconds": (time.time() - t0) / reps,
+            "first_call_s": compile_s,
+            "n_points": n,
+            "correct_vs_host_oracle": True,
+        }
+
+    # sharded NTT (auto-SPMD placement): fixed rows-per-device
+    n_rows_local = int(os.environ.get("ZKT_SCALING_NTT_LOCAL", 2048))
+    fr = L.field_spec(params.R)
+    for d in (1, d_max):
+        mesh = make_mesh(d, platform="cpu")
+        n = n_rows_local * d
+        dom = NTT.fr_domain(n)
+        coeffs_np = np.asarray(
+            rng.integers(0, 1 << 16, size=(n, fr.K), dtype=np.uint32)
+        )
+        dev = jnp.asarray(coeffs_np)
+        want = np.asarray(jax.device_get(NTT.ntt(dom, dev)))
+        sharded = shard_leading(mesh, dev)
+        got = np.asarray(jax.device_get(NTT.ntt(dom, sharded)))
+        if not (got == want).all():
+            print(json.dumps({"error": f"sharded NTT wrong at d={d}"}))
+            sys.exit(1)
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            r = NTT.ntt(dom, sharded)
+        jax.block_until_ready(r)
+        out["ntt"][str(d)] = {
+            "seconds": (time.time() - t0) / reps,
+            "n_rows": n,
+            "matches_unsharded": True,
+        }
+
+    t1 = out["msm"]["1"]["seconds"]
+    td = out["msm"][str(d_max)]["seconds"]
+    out["msm"]["cpu_mesh_time_ratio_t1_over_td"] = t1 / td
+    out["msm"]["note"] = (
+        "virtual CPU mesh: all devices share one physical CPU, so t(d) "
+        "reflects serialized compute + partition overhead, not pod scaling; "
+        "the collective inventory below is the portable evidence"
+    )
+    if dump_dir:
+        inv = _collective_inventory(dump_dir)
+        out["collectives_by_module"] = inv
+        local_bad = {
+            k: v for k, v in inv.items() if "gather_fold" not in k
+            and "ntt" not in k.lower()
+        }
+        out["msm_local_phase_collective_free"] = not local_bad
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -220,11 +220,6 @@ def _mont_to_plain_scalars(mont, spec):
     return L.from_mont(mont, spec)
 
 
-def g1_single(pt_jac):
-    """Leading-axis slice [i:i+1] helpers read better at call sites."""
-    return pt_jac
-
-
 # -- CRS -------------------------------------------------------------------------
 
 @dataclasses.dataclass(eq=False)
@@ -247,20 +242,11 @@ class DeviceCRS:
     g1_uvw_stmt: tuple  # [l+1]
     g1_uvw_wit: tuple   # [m-l]
     g1_xt: tuple        # [n_pad-1] tau^k t(tau)/delta
-    # e(alpha_1, beta_2), used only by GT-comparison verifiers (the device
-    # verifier folds alpha/beta into its one pairing product instead) —
-    # computed lazily via gt_ab() so CRS construction never compiles the
-    # Miller loop.
-    gt_alpha_beta: jnp.ndarray | None = None
-
-    def gt_ab(self):
-        if self.gt_alpha_beta is None:
-            fq = _fq_ops()
-            po = PO.bls_pairing_ops()
-            a_aff = C.to_affine(fq, self.g1_alpha)
-            b_aff = _g2_to_affine(self.g2_beta)
-            self.gt_alpha_beta = PO.pairing_e(po, a_aff, b_aff)
-        return self.gt_alpha_beta
+    # Note: e(alpha_1, beta_2) is deliberately NOT stored here (the reference
+    # CRS precomputes it, crs.rs:140-146): the device verifier folds
+    # alpha/beta into its one pairing product, and the host oracle verifier
+    # recomputes it — a cached GT leaf would force a Miller-loop compile into
+    # CRS construction for nothing.
 
     @staticmethod
     def generate(mat: CircuitMatrices, rng: Rng | None = None) -> "DeviceCRS":
@@ -413,7 +399,6 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "g1_alpha", "g1_beta", "g1_delta", "g2_beta", "g2_gamma", "g2_delta",
         "g1_u", "g1_v", "g2_v", "g1_uvw_stmt", "g1_uvw_wit", "g1_xt",
-        "gt_alpha_beta",
     ],
     meta_fields=["mat"],
 )
@@ -551,6 +536,82 @@ def verify_core(crs: DeviceCRS, proof_a, proof_b, proof_c, stmt_plain):
     p_b = cat([neg_a, alpha_aff, l_aff, proof_c])
     q_b = cat([proof_b, beta_aff, gamma_aff, delta_aff])
     return PO.pairing_product_is_one(po, p_b, q_b)
+
+
+def host_oracle_verify(crs: DeviceCRS, proof: DeviceProof,
+                       statement) -> bool:
+    """Compile-free host-tier verification oracle for device/sharded proofs.
+
+    Checks e(A, B) == e(alpha, beta) * e(L_stmt, gamma) * e(C, delta)
+    (reference zktoolkit_based/verifier.rs:31-56) using the object-tier Tate
+    pairing (curves/bls12_381/pairing.py) and raw-int host Jacobian math
+    (utils/host_curve.py) — zero device compiles, and an implementation
+    independent of every device kernel. The multichip dryrun verifies with
+    this oracle: compiling the device Miller loop costs ~2 minutes on
+    XLA-CPU at O0, most of the gate's time budget.
+    """
+    from zk_toolkit_tpu.curves.bls12_381 import tower
+    from zk_toolkit_tpu.curves.bls12_381.pairing import Pairing
+    from zk_toolkit_tpu.utils import host_curve as HC
+
+    spec = _fq_ops().spec
+    F1, F2 = HC.FpHost(params.Q), HC.Fp2Host(params.Q)
+
+    def g1_obj_affine(aff):
+        if bool(np.asarray(jax.device_get(aff[2])).reshape(-1)[0]):
+            return g1.infinity()
+        x = L.unpack(aff[0], spec)[0]
+        y = L.unpack(aff[1], spec)[0]
+        return g1.point(x, y)
+
+    def fq2(pair):
+        return tower.Fq2(tower.fq1(pair[1]), tower.fq1(pair[0]))
+
+    def g2_obj_affine(aff):
+        if bool(np.asarray(jax.device_get(aff[2])).reshape(-1)[0]):
+            return g2.infinity()
+        xs = L.unpack(aff[0], spec)
+        ys = L.unpack(aff[1], spec)
+        return g2.point(fq2(xs), fq2(ys))
+
+    def g1_obj_jac(pt):
+        aff = HC.jac_to_affine(
+            F1, tuple(L.unpack(a, spec)[0] for a in pt)
+        )
+        return g1.infinity() if aff is None else g1.point(*aff)
+
+    def g2_obj_jac(pt):
+        x = L.unpack(pt[0], spec)
+        y = L.unpack(pt[1], spec)
+        z = L.unpack(pt[2], spec)
+        aff = HC.jac_to_affine(
+            F2, ((x[0], x[1]), (y[0], y[1]), (z[0], z[1]))
+        )
+        if aff is None:
+            return g2.infinity()
+        return g2.point(fq2(aff[0]), fq2(aff[1]))
+
+    # L_stmt = sum stmt_i * uvw_stmt_i (host Jacobian MSM; statement is the
+    # short public-input prefix, wires 0..l)
+    sx = L.unpack(crs.g1_uvw_stmt[0], spec)
+    sy = L.unpack(crs.g1_uvw_stmt[1], spec)
+    sz = L.unpack(crs.g1_uvw_stmt[2], spec)
+    acc = (1, 1, 0)
+    for xi, yi, zi, si in zip(sx, sy, sz, statement):
+        k = int(si) % R
+        if k:
+            acc = HC.jac_add(F1, acc, HC.jac_mul(F1, (xi, yi, zi), k))
+    l_aff = HC.jac_to_affine(F1, acc)
+    l_obj = g1.infinity() if l_aff is None else g1.point(*l_aff)
+
+    pr = Pairing()
+    lhs = pr.tate(g1_obj_affine(proof.a), g2_obj_affine(proof.b))
+    rhs = (
+        pr.tate(g1_obj_jac(crs.g1_alpha), g2_obj_jac(crs.g2_beta))
+        * pr.tate(l_obj, g2_obj_jac(crs.g2_gamma))
+        * pr.tate(g1_obj_affine(proof.c), g2_obj_jac(crs.g2_delta))
+    )
+    return lhs == rhs
 
 
 class DeviceGroth16Verifier:
