@@ -1,0 +1,112 @@
+"""Pallas-kernel parity: the fused Montgomery-multiply kernel (ops/limbs.py
+`_mont_mul_fused`) vs the pure-XLA path (`_mont_mul_xla`) vs the host
+Python-int oracle, on the backend where the Pallas path actually runs.
+
+Every headline number in bench.py rests on this kernel (it serves all
+TPU-side field muls at batch >= 256), but `lax.platform_dependent` routes
+CPU lowering to the XLA path, so CPU CI never executes it — these tests are
+the explicit falsifier VERDICT r2 asked for: >= 4096 random inputs plus the
+adversarial corner rows (p-1, zero, one, R-1 with saturated limbs, values
+maximizing REDC carries), exact equality required.
+
+Skipped automatically when no TPU backend is attached (the driver's TPU
+bench still asserts oracles at runtime; see bench.py known-dlog/pairing
+checks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+
+from zk_toolkit_tpu.curves import secp256k1
+from zk_toolkit_tpu.curves.bls12_381 import params
+from zk_toolkit_tpu.ops import limbs as L
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="Pallas mont_mul only lowers on TPU backends "
+    "(lax.platform_dependent routes CPU to the XLA path)",
+)
+
+MODULI = {
+    "bls12_381_fq": params.Q,
+    "bls12_381_fr": params.R,
+    "secp256k1_p": secp256k1.P,
+}
+
+
+def _corner_values(p: int) -> list[int]:
+    """Adversarial residues: field boundaries and saturated-limb patterns
+    (every 16-bit limb 0xFFFF where representable) that maximize product
+    columns and REDC carry chains."""
+    k = L.field_spec(p).K
+    vals = [0, 1, 2, p - 1, p - 2, (p - 1) // 2, (p + 1) // 2]
+    sat = int("ffff" * k, 16)  # all limbs saturated (may exceed p)
+    vals += [sat % p, (sat >> 16) % p, (1 << (16 * (k - 1))) % p]
+    return [v % p for v in vals]
+
+
+@pytest.mark.parametrize("name", sorted(MODULI))
+def test_pallas_vs_xla_vs_host(name):
+    p = MODULI[name]
+    spec = L.field_spec(p)
+    rng = np.random.default_rng(42)
+    corners = _corner_values(p)
+    # all corner x corner pairs, then random fill to >= 4096 rows
+    pairs = [(a, b) for a in corners for b in corners]
+    n_rand = 4096
+    ra = [int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62)) % p
+          for _ in range(n_rand)]
+    rb = [int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62)) % p
+          for _ in range(n_rand)]
+    a_int = [x for x, _ in pairs] + ra
+    b_int = [y for _, y in pairs] + rb
+
+    a = L.pack(a_int, spec, mont=False)
+    b = L.pack(b_int, spec, mont=False)
+
+    fused = jax.jit(lambda x, y: L._mont_mul_fused(x, y, spec))(a, b)
+    xla = jax.jit(lambda x, y: L._mont_mul_xla(x, y, spec))(a, b)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(xla))
+
+    # host oracle: mont_mul computes a*b*R^-1 mod p (raw limbs in, raw out)
+    rinv = pow(1 << (16 * spec.K), -1, p)
+    got = L.unpack(fused, spec, mont=False)
+    want = [x * y * rinv % p for x, y in zip(a_int, b_int)]
+    assert got == want
+
+
+def test_pallas_block_padding_and_odd_batches():
+    """Batches that are not multiples of the Pallas block exercise the pad /
+    slice path in _mont_mul_fused."""
+    spec = L.field_spec(params.Q)
+    rng = np.random.default_rng(7)
+    for batch in (257, 1000, 1025, 4097):
+        a_int = [int(x) % params.Q for x in rng.integers(1, 1 << 63, batch)]
+        b_int = [int(x) % params.Q for x in rng.integers(1, 1 << 63, batch)]
+        a = L.pack(a_int, spec, mont=False)
+        b = L.pack(b_int, spec, mont=False)
+        fused = jax.jit(lambda x, y: L._mont_mul_fused(x, y, spec))(a, b)
+        rinv = pow(1 << (16 * spec.K), -1, params.Q)
+        got = L.unpack(fused, spec, mont=False)
+        want = [x * y * rinv % params.Q for x, y in zip(a_int, b_int)]
+        assert got == want
+
+
+def test_dispatch_routes_to_pallas_on_tpu():
+    """mont_mul at batch >= _PALLAS_MIN_BATCH must agree with the explicitly
+    forced XLA path — i.e. whatever path the public entry picked on this
+    backend is bit-identical to the reference lowering."""
+    spec = L.field_spec(params.Q)
+    rng = np.random.default_rng(3)
+    n = max(L._PALLAS_MIN_BATCH, 512)
+    a_int = [int(x) % params.Q for x in rng.integers(1, 1 << 63, n)]
+    b_int = [int(x) % params.Q for x in rng.integers(1, 1 << 63, n)]
+    a = L.pack(a_int, spec, mont=False)
+    b = L.pack(b_int, spec, mont=False)
+    default = L.mont_mul(a, b, spec)
+    forced = jax.jit(lambda x, y: L._mont_mul_xla(x, y, spec))(a, b)
+    np.testing.assert_array_equal(np.asarray(default), np.asarray(forced))
