@@ -71,6 +71,33 @@ def test_host_curve_vs_object_tier():
     )
 
 
+def test_fixed_base_table_cache(tmp_path, monkeypatch):
+    """Window-table persistence (VERDICT r2 item 9): second build loads the
+    .npz bit-identically, and table-driven scalar-mul matches the object
+    tier."""
+    import numpy as np
+
+    from zk_toolkit_tpu.curves import secp256k1
+    from zk_toolkit_tpu.ops import curve_ops as C, fixed_base as FB, limbs as L
+    from zk_toolkit_tpu.ops.field_ops import FqOps
+
+    monkeypatch.setenv("ZKT_TABLE_CACHE_DIR", str(tmp_path))
+    spec = L.field_spec(secp256k1.P)
+    ops = FqOps(spec)
+    base = C.pack_points([secp256k1.g()], spec)
+    t1 = FB.build_table_cached(ops, base, 32, 4, key="secp_t")
+    assert (tmp_path / "secp_t_n32_c4.npz").exists()
+    t2 = FB.build_table_cached(ops, base, 32, 4, key="secp_t")
+    for a, b in zip(t1, t2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    ks = [1, 5, 12345, (1 << 32) - 1]
+    pts = FB.scalar_mul_fixed(ops, t2, C.pack_scalars(ks, 32), 4)
+    for got, k in zip(C.unpack_points(pts, spec), ks):
+        want = secp256k1.g() * k
+        assert got == (want.x.e, want.y.e)
+
+
 def test_crs_roundtrip(tmp_path):
     from zk_toolkit_tpu.curves.bls12_381 import params
     from zk_toolkit_tpu.protocols import groth16_device as GD

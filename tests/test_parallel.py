@@ -191,6 +191,49 @@ def test_shard_map_collective(mesh):
     assert (out == np.arange(64).sum()).all()
 
 
+def test_sharded_ipa(mesh):
+    """Distributed Bulletproofs IPA (cyclic layout, explicit collectives) —
+    identical accept/reject to the single-device DeviceBulletproofs on the
+    same injected-challenge transcript, and the reject path stays sound."""
+    from zk_toolkit_tpu.protocols import bulletproofs_device as BD
+    from zk_toolkit_tpu.parallel.sharded_ipa import sharded_ipa
+
+    random.seed(21)
+    n = 32
+    f_n = secp256k1.curve_group()
+    gg = [secp256k1.g() * random.randrange(1, secp256k1.N) for _ in range(n)]
+    hh = [secp256k1.g() * random.randrange(1, secp256k1.N) for _ in range(n)]
+    u = secp256k1.g() * random.randrange(1, secp256k1.N)
+    a = [random.randrange(secp256k1.N) for _ in range(n)]
+    b = [random.randrange(secp256k1.N) for _ in range(n)]
+    c = sum(x * y for x, y in zip(a, b)) % secp256k1.N
+    P_pt = u * f_n.elem(c)
+    for gi, ai in zip(gg, a):
+        P_pt = P_pt + gi * f_n.elem(ai)
+    for hi, bi in zip(hh, b):
+        P_pt = P_pt + hi * f_n.elem(bi)
+    challenges = [random.randrange(1, secp256k1.N) for _ in range(5)]
+
+    spec = BD._P_OPS.spec
+    pk = lambda pts: C.pack_points(pts, spec)
+    ok = sharded_ipa(
+        mesh, n, pk(gg), pk(hh), pk([u]), pk([P_pt]),
+        BD._fr(a), BD._fr(b), challenges,
+    )
+    assert ok
+
+    single = BD.DeviceBulletproofs(list(challenges))
+    assert single.inner_product_argument(
+        n, pk(gg), pk(hh), pk([u]), pk([P_pt]), BD._fr(a), BD._fr(b)
+    )
+
+    bad = P_pt + secp256k1.g()
+    assert not sharded_ipa(
+        mesh, n, pk(gg), pk(hh), pk([u]), pk([bad]),
+        BD._fr(a), BD._fr(b), list(challenges),
+    )
+
+
 def test_sharded_groth16_prove(mesh):
     """The multichip gate's exact path: one shard_map Groth16 prove over the
     8-device CPU mesh. Asserts (a) the proof verifies, and (b) the proof is

@@ -76,6 +76,43 @@ def build_table(ops, base_jac, nbits: int, c: int):
     return (ax, ay, inf)
 
 
+def _table_cache_dir() -> str:
+    d = os.environ.get("ZKT_TABLE_CACHE_DIR")
+    if not d:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        d = os.path.join(root, ".zkt_tables")
+    return d
+
+
+def build_table_cached(ops, base_jac, nbits: int, c: int, key: str):
+    """build_table with .npz persistence (SURVEY.md §5 checkpoint note: the
+    reference rebuilds every reusable artifact per test — the window table is
+    deterministic in (generator, nbits, c), so build it once per machine).
+    Cache dir: $ZKT_TABLE_CACHE_DIR or <repo>/.zkt_tables (gitignored)."""
+    import numpy as np
+
+    path = os.path.join(_table_cache_dir(), f"{key}_n{nbits}_c{c}.npz")
+    if os.path.exists(path):
+        try:
+            data = np.load(path)
+            return tuple(jnp.asarray(data[f"t{i}"]) for i in range(3))
+        except Exception:
+            pass  # corrupt/stale cache: rebuild below
+    table = build_table(ops, base_jac, nbits, c)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}.npz"
+        np.savez_compressed(
+            tmp, **{f"t{i}": np.asarray(jax.device_get(a))
+                    for i, a in enumerate(table)}
+        )
+        os.replace(tmp, path)
+    except OSError:
+        pass  # read-only filesystem: stay in-memory
+    return table
+
+
 def _lift(ops, aff):
     """Affine (x, y, inf) -> Jacobian with z in {0, 1}."""
     ax, ay, inf = aff

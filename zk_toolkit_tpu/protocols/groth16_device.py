@@ -172,7 +172,9 @@ def _g1_base():
 
 @functools.lru_cache(maxsize=1)
 def _g1_table():
-    return FB.build_table(_fq_ops(), _g1_base(), FR_BITS, FB_WINDOW)
+    return FB.build_table_cached(
+        _fq_ops(), _g1_base(), FR_BITS, FB_WINDOW, key="bls12_381_g1"
+    )
 
 
 def fixed_base_g1(scalars_plain):
@@ -196,7 +198,9 @@ def _g2_base():
 @functools.lru_cache(maxsize=1)
 def _g2_table():
     po = PO.bls_pairing_ops()
-    return FB.build_table(po.e2, _g2_base(), FR_BITS, FB_WINDOW)
+    return FB.build_table_cached(
+        po.e2, _g2_base(), FR_BITS, FB_WINDOW, key="bls12_381_g2"
+    )
 
 
 def fixed_base_g2(scalars_plain):
