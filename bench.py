@@ -128,6 +128,11 @@ def bench_msm(quick: bool) -> tuple[float, float]:
     scalars_np = np.zeros((n, 16), dtype=np.uint32)
     raw = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint32)
     scalars_np[:] = raw
+    # The MSM is asked for nbits=255 but its 32 c=8 windows span bits
+    # [0, 256); mask the stream to 255 bits so the kernel and the known-dlog
+    # oracle (which reduces mod 2^255) see the same scalars. Real callers
+    # (Groth16, signatures) always pass scalars < r < 2^255.
+    scalars_np[:, 15] &= 0x7FFF
     scalars = jnp.asarray(scalars_np)
 
     c = None  # default c=8: the 2^16-bucket c=16 path crashes the TPU AOT helper
@@ -236,6 +241,53 @@ def bench_groth16(quick: bool) -> dict:
     return {"prove_s": dt, "crs_s": crs_s, "verify_s": verify_s}
 
 
+def bench_ipa(quick: bool) -> float:
+    """Seconds for one 2^10-length Bulletproofs inner-product argument
+    (2^6 when --quick) through the fused device rounds; the run must accept
+    (it proves a true statement) or no number is reported."""
+    import random
+
+    import jax.numpy as jnp
+    from zk_toolkit_tpu.curves import secp256k1
+    from zk_toolkit_tpu.ops import curve_ops as C
+    from zk_toolkit_tpu.ops import limbs as L
+    from zk_toolkit_tpu.ops import msm as M
+    from zk_toolkit_tpu.protocols import bulletproofs_device as BD
+
+    n = 1 << (6 if quick else 10)
+    rng = random.Random(17)
+    spec = BD._P_OPS.spec
+    gp = C.pack_points([secp256k1.g()], spec)
+    # bases/aux points on device: one batched scalar-mul of the generator
+    ks = [rng.randrange(1, secp256k1.N) for _ in range(2 * n + 1)]
+    base = tuple(jnp.tile(t, (2 * n + 1,) + (1,) * (t.ndim - 1)) for t in gp)
+    pts = C.scalar_mul(BD._P_OPS, base, C.pack_scalars(ks, 256), 256)
+    gg = tuple(t[:n] for t in pts)
+    hh = tuple(t[n : 2 * n] for t in pts)
+    u = tuple(t[2 * n :] for t in pts)
+    a = [rng.randrange(secp256k1.N) for _ in range(n)]
+    b = [rng.randrange(secp256k1.N) for _ in range(n)]
+    c = sum(x * y for x, y in zip(a, b)) % secp256k1.N
+    # P = g^a h^b u^c as one (2n+1)-point MSM on device
+    scal = C.pack_scalars(a + b + [c], 256)
+    P = tuple(t[None] for t in M.msm_pippenger(BD._P_OPS, pts, scal, 256))
+    chal = [rng.randrange(1, secp256k1.N) for _ in range(n.bit_length() - 1)]
+    am, bm = BD._fr(a), BD._fr(b)
+
+    ok = BD.DeviceBulletproofs(list(chal)).inner_product_argument(
+        n, gg, hh, u, P, am, bm
+    )  # warm-up + correctness gate
+    if not ok:
+        raise RuntimeError("IPA rejected a true statement — refusing to report")
+    t0 = time.perf_counter()
+    ok = BD.DeviceBulletproofs(list(chal)).inner_product_argument(
+        n, gg, hh, u, P, am, bm
+    )
+    dt = time.perf_counter() - t0
+    assert ok
+    return dt
+
+
 def bench_weak_scaling() -> dict | None:
     """Weak-scaling proxies + collective-inventory evidence, measured in a
     SUBPROCESS on the virtual 8-device CPU mesh (parallel/weak_scaling.py).
@@ -327,6 +379,13 @@ def main():
         log(f"groth16 prove s: {g16['prove_s']:.2f} (crs {g16['crs_s']:.1f}s)")
     except Exception as e:
         log(f"groth16 bench failed: {e!r}")
+
+    try:
+        ipa_s = _retry(lambda: bench_ipa(quick), label="ipa bench")
+        extra["ipa_2pow10_s" if not quick else "ipa_2pow6_s"] = ipa_s
+        log(f"ipa: {ipa_s:.2f}s")
+    except Exception as e:
+        log(f"ipa bench failed: {e!r}")
 
     msm_s, msm_pts_per_s = _retry(lambda: bench_msm(quick), label="msm bench")
     extra["msm_seconds"] = msm_s

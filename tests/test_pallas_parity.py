@@ -96,6 +96,41 @@ def test_pallas_block_padding_and_odd_batches():
         assert got == want
 
 
+def test_fixed_base_chunked_unaligned_batch(monkeypatch):
+    """Regression for the round-4 CRS corruption: chunked scalar_mul_fixed
+    with sublane-misaligned chunk batches (the old memory-budget chunk of
+    10700) produced wrong G1 points on the TPU runtime in processes that had
+    built the window table. Chunks are now 1024-aligned with zero-padded
+    tails; this drives the chunked path (tiny memory cap -> many chunks,
+    unaligned total) against the host oracle."""
+    import numpy as np
+
+    from zk_toolkit_tpu.ops import curve_ops as C, fixed_base as FB
+    from zk_toolkit_tpu.protocols import groth16_device as GD
+    from zk_toolkit_tpu.parallel.sharded_groth16 import _unpack_g1_host
+    from zk_toolkit_tpu.utils import host_curve as HC
+
+    monkeypatch.setenv("ZKT_FB_MEM_BYTES", str(16 << 20))  # force chunking
+    fq = GD._fq_ops()
+    spec = fq.spec
+    table = GD._g1_table()
+    rng = np.random.default_rng(13)
+    b = 3001  # unaligned total -> padded tail chunk
+    ks = [int(x) * int(y) % params.R for x, y in zip(
+        rng.integers(1, 1 << 62, b), rng.integers(1, 1 << 62, b))]
+    pts = FB.scalar_mul_fixed(fq, table, C.pack_scalars(ks, 256), 8)
+    from zk_toolkit_tpu.curves.bls12_381 import g1 as g1mod
+
+    F1 = HC.FpHost(params.Q)
+    gp = g1mod.g()
+    for i in list(range(0, b, 199)) + [b - 1]:
+        got = _unpack_g1_host(tuple(a[i] for a in pts), spec)
+        want = HC.jac_to_affine(
+            F1, HC.jac_mul(F1, HC.from_affine(F1, (gp.x.e, gp.y.e)), ks[i])
+        )
+        assert got == want, f"row {i}"
+
+
 def test_dispatch_routes_to_pallas_on_tpu():
     """mont_mul at batch >= _PALLAS_MIN_BATCH must agree with the explicitly
     forced XLA path — i.e. whatever path the public entry picked on this

@@ -156,8 +156,18 @@ def scalar_mul_fixed(ops, table, scalars, c: int, chunk: int | None = None):
     """[k_i * G] for a batch of scalars against a precomputed window table.
 
     scalars: uint32[B, S] plain 16-bit limbs. Chunked so the gathered
-    per-window point copies stay inside a device memory budget."""
+    per-window point copies stay inside a device memory budget.
+
+    Every _gather_fold execution is padded to a 1024-row-aligned batch:
+    on the experimental TPU runtime, sublane-misaligned batches (B % 8 != 0,
+    e.g. the old memory-budget chunk of 10700) produced wrong points in
+    processes that had executed the table-build graphs, while every
+    8/1024-aligned batch was bit-correct in the same processes (bisected
+    round 4: fb_probe chunk=10700 -> 0/64 correct, chunk=4096 and
+    chunk=40000 -> 64/64, table itself verified entry-by-entry). Zero-pad
+    rows cost one infinity gather each and are sliced off the result."""
     b = scalars.shape[0]
+    align = 1024
     if chunk is None:
         cap = int(os.environ.get("ZKT_FB_MEM_BYTES", 128 << 20))
         s_limbs = scalars.shape[1]
@@ -166,11 +176,25 @@ def scalar_mul_fixed(ops, table, scalars, c: int, chunk: int | None = None):
             functools.reduce(lambda x, y: x * y, a.shape[1:], 1) for a in table
         )
         per_row = n_win * struct * 4 * 2  # gathered copy + tree scratch
-        chunk = max(128, cap // max(per_row, 1))
+        chunk = max(align, cap // max(per_row, 1) // align * align)
+    else:
+        chunk = max(8, chunk - chunk % 8)
+
+    def padded(lo: int, hi: int):
+        """scalars[lo:hi] zero-padded to an aligned batch; zero scalars
+        gather only infinity rows, so padding cannot change results."""
+        sl = scalars[lo:hi]
+        n = hi - lo
+        step = align if n >= align else 8
+        pad = (-n) % step
+        if pad:
+            sl = jnp.concatenate(
+                [sl, jnp.zeros((pad,) + sl.shape[1:], dtype=sl.dtype)], axis=0
+            )
+        out = _gather_fold(ops, table, sl, c)
+        return tuple(a[:n] for a in out) if pad else out
+
     if b <= chunk:
-        return _gather_fold(ops, table, scalars, c)
-    parts = [
-        _gather_fold(ops, table, scalars[lo : lo + chunk], c)
-        for lo in range(0, b, chunk)
-    ]
+        return padded(0, b)
+    parts = [padded(lo, min(lo + chunk, b)) for lo in range(0, b, chunk)]
     return tuple(jnp.concatenate([p[i] for p in parts], axis=0) for i in range(3))
