@@ -92,7 +92,14 @@ def main():
     dlogs = [int(x) for x in rng.integers(1, 1 << 62, size=n_total)]
     affs = HC.multi_mul(F1, (gp.x.e, gp.y.e), dlogs)
     pts_all = HC.pack_g1_jac(affs, spec)
-    scal_ints = [int(x) for x in rng.integers(0, 1 << nbits, size=n_total)]
+    # two 32-bit halves: 1 << 64 overflows numpy's int64 bound checking
+    scal_ints = [
+        int(a) | (int(b) << 32)
+        for a, b in zip(
+            rng.integers(0, 1 << 32, size=n_total, dtype=np.uint64),
+            rng.integers(0, 1 << (nbits - 32), size=n_total, dtype=np.uint64),
+        )
+    ]
     scal_all = C.pack_scalars(scal_ints, nbits)
 
     def host_expected(n):
