@@ -62,7 +62,52 @@ def _s(*xs):
     return jnp.stack(xs, axis=0)
 
 
+# Fused-kernel dispatch: for base-field ops (FqOps) at real batch sizes on
+# accelerator backends, the whole group law runs as ONE Pallas kernel on
+# [K, block] VMEM tiles (ops/curve_kernels.py — measured 4-6x over the
+# XLA-composed formulas, whose [batch, 24] layouts idle 80% of the VPU
+# lanes). CPU lowerings and tower-field ops keep the XLA path; the platform
+# choice happens at lowering time, so one trace serves mixed-platform
+# programs, and tests/test_pallas_parity.py asserts bit-identity.
+
+def _use_fused_law(ops, *pts):
+    import os
+
+    if os.environ.get("ZKT_NO_PA_KERNEL"):
+        return False
+    if getattr(ops, "ndim_struct", 1) != 1 or not hasattr(ops, "spec"):
+        return False
+    shapes = {a.shape for p in pts for a in p}
+    if len(shapes) != 1:
+        return False
+    batch = int(np.prod(next(iter(shapes))[:-1]) or 1)
+    return batch >= 256
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _point_double_dispatch(ops, x, y, z):
+    """jit-wrapped platform dispatch: the Pallas kernel (whose trace builds
+    ~5k equations per instance) and the platform cond are traced ONCE per
+    shape process-wide — inlining them at every group-law instance made
+    tracing/lowering of big MSM modules explode (round-5 regression)."""
+    from zk_toolkit_tpu.ops import curve_kernels as CK
+
+    def _fused(*xs):
+        return CK.point_double_fused(tuple(xs), ops.spec)
+
+    def _xla(*xs):
+        return _point_double_formula(ops, tuple(xs))
+
+    return jax.lax.platform_dependent(x, y, z, cpu=_xla, default=_fused)
+
+
 def point_double(ops, p):
+    if _use_fused_law(ops, p):
+        return _point_double_dispatch(ops, *p)
+    return _point_double_formula(ops, p)
+
+
+def _point_double_formula(ops, p):
     """dbl-2009-l for y^2 = x^3 + b. Y=0 and Z=0 inputs both yield Z3=0 —
     no case analysis needed (reference's affine tangent/y=0 branches,
     macros.rs:131-163, collapse into the formula)."""
@@ -79,7 +124,27 @@ def point_double(ops, p):
     return (x3, y3, z3)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _point_add_dispatch(ops, x1, y1, z1, x2, y2, z2):
+    from zk_toolkit_tpu.ops import curve_kernels as CK
+
+    def _fused(*xs):
+        return CK.point_add_fused(tuple(xs[:3]), tuple(xs[3:]), ops.spec)
+
+    def _xla(*xs):
+        return _point_add_formula(ops, tuple(xs[:3]), tuple(xs[3:]))
+
+    return jax.lax.platform_dependent(x1, y1, z1, x2, y2, z2,
+                                      cpu=_xla, default=_fused)
+
+
 def point_add(ops, p, q):
+    if _use_fused_law(ops, p, q):
+        return _point_add_dispatch(ops, *p, *q)
+    return _point_add_formula(ops, p, q)
+
+
+def _point_add_formula(ops, p, q):
     """Complete add: add-2007-bl with branch-free handling of
     P=∞ / Q=∞ / P=Q (double) / P=-Q (→ ∞, automatic via H=0 ⇒ Z3=0).
     Mirrors the reference's exhaustive affine case analysis
@@ -103,7 +168,7 @@ def point_add(ops, p, q):
 
     same_x = ops.is_zero(h)
     same_y = ops.is_zero(r)
-    out = select_point(ops, same_x & same_y, point_double(ops, p), out)
+    out = select_point(ops, same_x & same_y, _point_double_formula(ops, p), out)
     out = select_point(ops, is_infinity(ops, q), p, out)
     out = select_point(ops, is_infinity(ops, p), q, out)
     return out

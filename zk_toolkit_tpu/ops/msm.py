@@ -247,13 +247,205 @@ def _sort_by_digit(ops, pts, digits):
     return keys, tuple(spts)
 
 
-def _msm_window(ops, pts, digits, c: int):
-    """One Pippenger window group: sort by digit, bucket sums, weighted
-    reduction. digits uint32[N] -> point with no batch axis;
-    digits uint32[N, W] (pts broadcast to [N, W, ...]) -> points [W, ...]."""
-    keys, spts = _sort_by_digit(ops, pts, digits)
-    buckets = _segmented_bucket_sums(ops, spts, keys, c)
-    return _weighted_bucket_sum(ops, buckets)
+def _sorted_stream(ops, pts, digits, src_cols: int):
+    """Sorted (keys, points) WITHOUT materializing a [N, M, ...] broadcast of
+    the input points: the per-column gather reads the source stream
+    directly (jnp.take with a [N, M] index), so the only M-wide array ever
+    written is the sorted copy itself. pts: [N, ...] when src_cols == 1,
+    else [N, B, ...]; digits: [N(, M)] with M = B * (windows per source)."""
+    order = jnp.argsort(digits, axis=0)
+    keys = jnp.take_along_axis(digits, order, axis=0)
+    n = digits.shape[0]
+    spts = []
+    for a in pts:
+        if src_cols == 1:
+            spts.append(jnp.take(a, order, axis=0))
+        else:
+            m = digits.shape[1]
+            w = m // src_cols
+            ord3 = order.reshape(n, src_cols, w)
+            out = jax.vmap(
+                lambda ab, ob: jnp.take(ab, ob, axis=0),
+                in_axes=(1, 1), out_axes=1,
+            )(a, ord3)                            # [N, B, W, ...]
+            spts.append(out.reshape((n, m) + a.shape[2:]))
+    return keys, tuple(spts)
+
+
+# -- sum-tree + Fenwick boundary-query window reduction -----------------------
+#
+# Round-5 replacement for the merge-tree + bucket-scatter pipeline. Profiling
+# on the tunneled v5e showed the merge tree at ~6.5x the arithmetic floor:
+# its two scatters per level collide every invalid row on bucket 0, which
+# XLA must serialize, and the id/select bookkeeping adds several full-array
+# traversals per level. This formulation needs NO scatter and NO ids:
+#
+#   1. up-sweep: levels[l][i] = sum of sorted-stream block [i*2^l,(i+1)*2^l)
+#      — pure pairwise batched adds, N-1 total (work-identical to the tree).
+#   2. boundaries: p_k = first index with digit >= k (binary search on the
+#      sorted keys), for k = 1..2^c-1.
+#   3. exclusive prefix sums AT the boundaries only, via the Fenwick
+#      decomposition: S_ex[p] = sum over set bits l of p of
+#      levels[l][(p >> l) - 1] — a (2^c-1) x log2(N) gather + small fold.
+#   4. window sum via the suffix identity:
+#      sum_b b*B_b = sum_k T_k,  T_k = Total - S_ex[p_k]
+#                  = (2^c-1)*Total - sum_k S_ex[p_k].
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _pair_halve(ops, cur):
+    """One up-sweep level: add even/odd neighbours along axis 0."""
+    return C.point_add(
+        ops, tuple(a[0::2] for a in cur), tuple(a[1::2] for a in cur)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _half_fold(ops, cur):
+    """One reduction level: add first half to second half along axis 0."""
+    n = cur[0].shape[0]
+    return C.point_add(
+        ops, tuple(a[: n // 2] for a in cur), tuple(a[n // 2 :] for a in cur)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _boundary_positions(keys, m: int):
+    """p[k-1] = number of entries < k == first index with key >= k, for
+    k = 1..m-1. keys uint32[N(,W)] sorted ascending along axis 0; returns
+    uint32[m-1(,W)] with values in [0, N]. Vectorized binary search:
+    log2(N) static rounds of one tiny gather each — no [m, N] compare
+    matrix, no scatter."""
+    n = keys.shape[0]
+    ks = jnp.arange(1, m, dtype=jnp.uint32)
+    ks = ks.reshape((m - 1,) + (1,) * (keys.ndim - 1))
+    lo = jnp.zeros((m - 1,) + keys.shape[1:], dtype=jnp.uint32)
+    step = n  # n is a power of two (streams are pow2-padded)
+    while step >= 1:
+        cand = lo + jnp.uint32(step)
+        idx = jnp.minimum(cand, jnp.uint32(n)) - jnp.uint32(1)
+        # per-column gather: [M-1(,W)] indices into keys' axis 0
+        val = jnp.take_along_axis(keys, idx.astype(jnp.int32), axis=0)
+        take = (cand <= jnp.uint32(n)) & (val < ks)
+        lo = jnp.where(take, cand, lo)
+        step //= 2
+    return lo
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _fenwick_gather_level(ops, lev, p, l: int):
+    """Level-l contribution to S_ex[p]: levels[l][(p >> l) - 1] where bit l
+    of p is set, infinity elsewhere."""
+    bit = (p >> jnp.uint32(l)) & jnp.uint32(1)
+    idx = jnp.maximum(p >> jnp.uint32(l), jnp.uint32(1)) - jnp.uint32(1)
+    g = []
+    for a in lev:
+        ix = idx.reshape(idx.shape + (1,) * (a.ndim - idx.ndim))
+        g.append(jnp.take_along_axis(a, ix.astype(jnp.int32), axis=0))
+    g = tuple(g)
+    inf = C.infinity_like(ops, g)
+    return C.select_point(ops, bit == 1, g, inf)
+
+
+def _fenwick_prefix(ops, levels, p):
+    """S_ex[p] for each boundary position p (uint32[M(,W)], values in [0,N]):
+    sum of levels[l][(p >> l) - 1] over set bits l. levels[l] is the up-sweep
+    node array with leading length N / 2^l (levels[-1] length 1 = Total).
+    The per-level contributions fold pairwise as they are produced, so only
+    two M-sized point arrays are ever live (not log2(N) of them)."""
+    acc = None
+    for l, lev in enumerate(levels):
+        contrib = _fenwick_gather_level(ops, lev, p, l)
+        acc = contrib if acc is None else _point_add_jit(ops, acc, contrib)
+    return acc                                   # [M, (W), ...]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _point_add_jit(ops, p, q):
+    return C.point_add(ops, p, q)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _small_scalar_mul(ops, p, k: int):
+    """k * P for a small static integer k: unrolled double-and-add
+    (bit-length(k) steps on a tiny batch)."""
+    acc = None
+    for bit in bin(k)[2:]:
+        if acc is not None:
+            acc = C.point_double(ops, acc)
+        if bit == "1":
+            acc = p if acc is None else C.point_add(ops, acc, p)
+    return acc
+
+
+def _msm_window(ops, pts, digits, c: int, src_cols: int | None = None):
+    """One Pippenger window group: sort by digit, up-sweep sum tree, Fenwick
+    boundary reduction. digits uint32[N] -> point with no batch axis;
+    digits uint32[N, M] -> points [M, ...]. With src_cols set, pts are the
+    UNBROADCAST source stream ([N, ...] for src_cols == 1, [N, B, ...] for
+    B sources) and the sort gathers from it directly."""
+    if src_cols is not None:
+        keys, spts = _sorted_stream(ops, pts, digits, src_cols)
+    else:
+        keys, spts = _sort_by_digit(ops, pts, digits)
+    if _engine() == "merge":
+        buckets = _segmented_bucket_sums(ops, spts, keys, c)
+        return _weighted_bucket_sum(ops, buckets)
+    # up-sweep
+    levels = [spts]
+    cur = spts
+    while cur[0].shape[0] > 1:
+        cur = _pair_halve(ops, cur)
+        levels.append(cur)
+    total = tuple(a[0] for a in levels[-1])      # [(W), ...]
+    # boundaries + prefix queries
+    p = _boundary_positions(keys, 1 << c)        # [2^c-1, (W)]
+    sex = _fenwick_prefix(ops, levels, p)        # [2^c-1, (W), ...]
+    sex = C.pad_to_pow2(ops, sex)
+    while sex[0].shape[0] > 1:                   # reduce the k axis
+        sex = _half_fold(ops, sex)
+    sum_sex = tuple(a[0] for a in sex)           # [(W), ...]
+    wt = _small_scalar_mul(ops, total, (1 << c) - 1)
+    return _point_add_jit(ops, wt, C.point_neg(ops, sum_sex))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _msm_window_fused(ops, pts, digits, c: int, src_cols: int | None = None):
+    """The whole window pass as ONE executable. The per-stage jits inline
+    into this trace, so a pass costs a single dispatch instead of ~80.
+
+    Rationale (measured round 5, tunneled v5e): per-executable launch
+    overhead is ~1.3 ms even fully async (64k-batch mont_mul: 1.75 ms wall
+    vs 0.4 ms compute), so the eager per-level structure — ~10k small
+    executables for a 2^20 MSM — costs ~40 s in pure launch overhead while
+    the arithmetic itself is ~3 s. One fused executable per window group
+    removes all of it. The old `tens of minutes of XLA compile` concern
+    predates the Pallas mont_mul kernel, which XLA treats as one opaque
+    custom call: the fused pass now compiles in ~1-2 min (cached across
+    runs via the persistent compilation cache)."""
+    return _msm_window(ops, pts, digits, c, src_cols)
+
+
+def _fused() -> bool:
+    """Fuse the whole window pass into one executable? Default: yes on
+    accelerators (per-executable launch overhead through the tunneled
+    runtime is ~1.3 ms — see _msm_window_fused), no on CPU (XLA-CPU compiles
+    the per-level executables once and shares them across every shape/test;
+    the fused mega-module costs ~2 min of LLVM time per distinct shape)."""
+    import os
+
+    if os.environ.get("ZKT_MSM_NO_FUSE"):
+        return False
+    if os.environ.get("ZKT_MSM_FUSE"):
+        return True
+    return jax.default_backend() != "cpu"
+
+
+def _engine() -> str:
+    """Bucket-phase engine: "fenwick" (default; sum tree + boundary queries,
+    scatter-free) or "merge" (round-4 segmented merge tree, kept for A/B)."""
+    import os
+
+    return os.environ.get("ZKT_MSM_ENGINE", "fenwick")
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -344,13 +536,8 @@ def msm_pippenger_many(ops, pts, scalars, nbits: int, c: int | None = None,
         w = hi - lo
         digits = _window_digits_cols(scal_t, c, lo, hi)    # [n, B, W]
         dig_flat = digits.reshape(n, b * w)
-        pts_b = tuple(
-            jnp.broadcast_to(
-                a[:, :, None], (n, b, w) + a.shape[2:]
-            ).reshape((n, b * w) + a.shape[2:])
-            for a in pts_t
-        )
-        grp = _msm_window(ops, pts_b, dig_flat, c)         # [B*W, ...]
+        win_fn = _msm_window_fused if _fused() else _msm_window
+        grp = win_fn(ops, pts_t, dig_flat, c, b)           # [B*W, ...]
         partials.append(
             tuple(x.reshape((b, w) + x.shape[1:]) for x in grp)
         )
@@ -360,14 +547,68 @@ def msm_pippenger_many(ops, pts, scalars, nbits: int, c: int | None = None,
     return _horner_combine_many(ops, stacked, c)
 
 
+def msm_pippenger_traced(ops, pts, scalars, nbits: int, c: int,
+                         window_chunk: int | None = None):
+    """Fully-traceable single-MSM Pippenger (no host-side stream chunking, no
+    eager dispatch) for use INSIDE jit/shard_map bodies — e.g. the local MSM
+    modules of the sharded Groth16 prove (parallel/sharded_groth16.py), which
+    previously used a 256-step double-and-add scan (~16x the point work).
+    pts: Jacobian tuple [n, ...]; scalars uint32[n, S]. Returns one point."""
+    pts, scalars = C.pad_to_pow2(ops, pts, scalars)
+    n = pts[0].shape[0]
+    n_windows = (nbits + c - 1) // c
+    wc = window_chunk or n_windows
+    partials = []
+    for lo in range(0, n_windows, wc):
+        hi = min(lo + wc, n_windows)
+        digits = _window_digits_group(scalars, c, lo, hi)   # [N, W]
+        partials.append(_msm_window(ops, pts, digits, c, 1))
+    stacked = tuple(
+        jnp.concatenate([p[i] for p in partials], axis=0) for i in range(3)
+    )
+    return _horner_combine(ops, stacked, c)
+
+
+def msm_pippenger_many_traced(ops, pts, scalars, nbits: int, c: int,
+                              window_chunk: int | None = None):
+    """Traceable batched variant: pts [B, n, ...], scalars [B, n, S] ->
+    [B, ...]. Same program as msm_pippenger_many minus host orchestration."""
+    b = pts[0].shape[0]
+    pts, scalars = _pad_stream_axis1(ops, pts, scalars)
+    n = pts[0].shape[1]
+    n_windows = (nbits + c - 1) // c
+    pts_t = tuple(a.swapaxes(0, 1) for a in pts)
+    scal_t = scalars.swapaxes(0, 1)
+    wc = window_chunk or n_windows
+    partials = []
+    for lo in range(0, n_windows, wc):
+        hi = min(lo + wc, n_windows)
+        w = hi - lo
+        digits = _window_digits_cols(scal_t, c, lo, hi)
+        dig_flat = digits.reshape(n, b * w)
+        grp = _msm_window(ops, pts_t, dig_flat, c, b)
+        partials.append(tuple(x.reshape((b, w) + x.shape[1:]) for x in grp))
+    stacked = tuple(
+        jnp.concatenate([p[i] for p in partials], axis=1) for i in range(3)
+    )
+    return _horner_combine_many(ops, stacked, c)
+
+
 def _auto_window_chunk(n: int, n_windows: int, struct_elems: int) -> int:
     """How many windows to batch per dispatch group: bounded by a device
-    memory budget for the gathered per-window point copies."""
+    memory budget for the gathered per-window point copies (sorted copy,
+    broadcast input, and the top merge-tree levels each hold one W-wide
+    stream copy live). Prefers a divisor of n_windows so every group
+    compiles to the SAME executable shape."""
     import os
 
-    cap = int(os.environ.get("ZKT_MSM_MEM_BYTES", 256 << 20))
+    cap = int(os.environ.get("ZKT_MSM_MEM_BYTES", int(2.5 * (1 << 30))))
     per_window = n * struct_elems * 4 * 2  # gathered copy + scratch
-    return max(1, min(n_windows, cap // max(per_window, 1)))
+    raw = max(1, min(n_windows, cap // max(per_window, 1)))
+    for d in range(raw, 0, -1):
+        if n_windows % d == 0:
+            return d
+    return raw
 
 
 def msm_pippenger(ops, pts, scalars, nbits: int, c: int | None = None,
@@ -382,7 +623,7 @@ def msm_pippenger(ops, pts, scalars, nbits: int, c: int | None = None,
     the memory cap. Per-level executables are shared across groups and calls."""
     n_raw = pts[0].shape[0]
     max_stream = int(np.log2(int(
-        __import__("os").environ.get("ZKT_MSM_MAX_STREAM", 1 << 18)
+        __import__("os").environ.get("ZKT_MSM_MAX_STREAM", 1 << 20)
     )))
     if n_raw > (1 << max_stream):
         # stream chunking: sub-MSMs over 2^max_stream-point slices combined
@@ -408,21 +649,18 @@ def msm_pippenger(ops, pts, scalars, nbits: int, c: int | None = None,
     n_windows = (nbits + c - 1) // c
     struct = sum(int(np.prod(a.shape[1:])) for a in pts)
     wc = window_chunk or _auto_window_chunk(n, n_windows, struct)
+    win_fn = _msm_window_fused if _fused() else _msm_window
     partials = []  # per window, ascending
     for lo in range(0, n_windows, wc):
         ws = list(range(lo, min(lo + wc, n_windows)))
         if len(ws) == 1:
             digits = _window_digits(scalars, c, ws[0])
-            partials.append(tuple(x[None] for x in _msm_window(ops, pts, digits, c)))
+            partials.append(
+                tuple(x[None] for x in win_fn(ops, pts, digits, c, 1))
+            )
         else:
             digits = _window_digits_group(scalars, c, ws[0], ws[-1] + 1)  # [N, W]
-            pts_b = tuple(
-                jnp.broadcast_to(
-                    a[:, None], (n, len(ws)) + a.shape[1:]
-                )
-                for a in pts
-            )
-            group = _msm_window(ops, pts_b, digits, c)  # tuple of [W, ...]
+            group = win_fn(ops, pts, digits, c, 1)  # tuple of [W, ...]
             partials.append(group)
     stacked = tuple(
         jnp.concatenate([p[i] for p in partials], axis=0) for i in range(3)
