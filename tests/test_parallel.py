@@ -129,22 +129,79 @@ def test_sharded_batch_field_mul(mesh):
     assert L.unpack(out, spec) == [x * y % params.Q for x, y in zip(xs, ys)]
 
 
-def test_sharded_ntt(mesh):
-    """NTT over Fr with the butterfly-lane axis sharded over the mesh: XLA
-    SPMD inserts the cross-shard exchanges (the all-to-all of SURVEY.md §2
-    item d); results must be bit-identical to the unsharded transform."""
-    from zk_toolkit_tpu.curves.bls12_381 import params
+def test_sharded_ntt_four_step(mesh):
+    """Explicit four-step sharded NTT (all_to_all transposes + local row
+    butterflies, parallel/sharded_ntt.py — SURVEY §7 step 8): bit-identical
+    to the unsharded ops/ntt.py transforms at 2^16 rows, forward and
+    inverse. (2^18 rows run in the weak-scaling artifact.)"""
+    import numpy as np
     from zk_toolkit_tpu.ops import ntt as N
+    from zk_toolkit_tpu.parallel.sharded_ntt import sharded_intt, sharded_ntt
 
-    random.seed(13)
-    n = 64
+    rng = np.random.default_rng(13)
+    n = 1 << 16
     dom = N.fr_domain(n)
-    coeffs = [random.randrange(params.R) for _ in range(n)]
-    dev = L.pack(coeffs, dom.spec)
-    want = L.unpack(N.ntt(dom, dev), dom.spec)
-    sharded = shard_leading(mesh, dev)
-    got = L.unpack(N.ntt(dom, sharded), dom.spec)
-    assert got == want
+    raw = rng.integers(0, 1 << 16, size=(n, dom.spec.K), dtype=np.uint32)
+    raw[:, -1] &= 0x3FFF  # canonical: < 2^254 < r (the kernels' contract)
+    dev = jnp.asarray(raw)
+    want = np.asarray(jax.device_get(N.ntt(dom, dev)))
+    got = np.asarray(jax.device_get(sharded_ntt(dev, mesh)))
+    np.testing.assert_array_equal(got, want)
+    want_i = np.asarray(jax.device_get(N.intt(dom, dev)))
+    got_i = np.asarray(jax.device_get(sharded_intt(dev, mesh)))
+    np.testing.assert_array_equal(got_i, want_i)
+
+
+def test_sharded_ntt_collective_schedule(mesh):
+    """HLO evidence for the four-step design: the compiled transform module
+    contains exactly the designed all_to_all transposes (3 for a
+    natural-order-in/out transform) and no other collectives."""
+    import re
+
+    import numpy as np
+    from zk_toolkit_tpu.parallel import sharded_ntt as SN
+
+    n = 1 << 12
+    d = mesh.shape["shard"]
+    n1, _ = SN._split(n, d)
+    spec = SN._spec()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.integers(0, 1 << 16, size=(1, n1, n // n1, spec.K),
+                     dtype=np.uint32)
+    )
+    mid = jnp.asarray(SN._mid_table(n, n1, False, False))
+    dummy = jnp.zeros((d, 1, spec.K), jnp.uint32)
+    with mesh:
+        txt = SN._four_step_jit.lower(
+            mesh, "shard", n1, False, False, False, x, mid, dummy, dummy
+        ).compile().as_text()
+    a2a = len(re.findall(r"\ball-to-all", txt))
+    assert a2a >= 3, f"expected >=3 all-to-alls, found {a2a}"
+    other = re.findall(r"all-reduce|collective-permute|reduce-scatter", txt)
+    assert not other, f"unexpected collectives: {set(other)}"
+
+
+def test_sharded_h_from_evs(mesh):
+    """The sharded Groth16 module-2 chain (intt -> coset_ntt -> quotient ->
+    coset_intt, all four-step) is bit-identical to the replicated
+    ops/ntt.py h_coset_then_coeffs."""
+    import numpy as np
+    from zk_toolkit_tpu.ops import ntt as N
+    from zk_toolkit_tpu.parallel.sharded_ntt import sharded_h_from_evs
+
+    rng = np.random.default_rng(29)
+    n = 1 << 12
+    dom = N.fr_domain(n)
+    def rand_col():
+        raw = rng.integers(0, 1 << 16, size=(n, dom.spec.K), dtype=np.uint32)
+        raw[:, -1] &= 0x3FFF  # canonical: < 2^254 < r
+        return jnp.asarray(raw)
+
+    a, b, c = rand_col(), rand_col(), rand_col()
+    want = np.asarray(jax.device_get(N.h_coset_then_coeffs(dom, a, b, c)))
+    got = np.asarray(jax.device_get(sharded_h_from_evs(a, b, c, mesh)))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_hmac_sha512_batch():

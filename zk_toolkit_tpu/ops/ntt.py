@@ -133,6 +133,30 @@ def _dit(dom: NttDomain, x, tables):
     return x.reshape(n, spec.K)
 
 
+def dit_rows(dom: NttDomain, x, inverse: bool = False):
+    """Row-batched DIT butterflies: transform axis -2 of x[..., n, K] for a
+    whole batch of independent rows in one pass. This is the local-transform
+    engine of the four-step sharded NTT (parallel/sharded_ntt.py), where each
+    device transforms its row block between all_to_all transposes. Natural
+    order in, natural order out (bit-reversal internal). No 1/n scaling."""
+    spec = dom.spec
+    n = dom.n
+    assert x.shape[-2] == n
+    tables = dom.inv_twiddles if inverse else dom.twiddles
+    lead = x.shape[:-2]
+    x = jnp.take(x, jnp.asarray(dom.bitrev), axis=-2)
+    for s in range(1, dom.log_n + 1):
+        half = 1 << (s - 1)
+        m = 1 << s
+        x = x.reshape(lead + (n // m, m, spec.K))
+        u = x[..., :half, :]
+        v = L.mont_mul(x[..., half:, :], jnp.asarray(tables[s - 1]), spec)
+        x = jnp.concatenate(
+            [L.add_mod(u, v, spec), L.sub_mod(u, v, spec)], axis=-2
+        )
+    return x.reshape(lead + (n, spec.K))
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def ntt(dom: NttDomain, coeffs):
     """Coefficients (little-endian degree order, reference polynomial.rs:34

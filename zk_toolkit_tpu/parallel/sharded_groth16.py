@@ -8,30 +8,30 @@ History of this path (the driver's multichip acceptance gate):
   schedule became trivially uniform, but XLA-CPU needed >6 minutes to compile
   the one giant module and the gate timed out (MULTICHIP_r03, ADVICE.md r3).
 
-This round keeps round 3's explicit-collective design but splits the prove
-into FIVE small modules, so each compiles in seconds and the scan bodies are
-not re-inlined into one mega-graph:
+This round (5) keeps the explicit-collective, small-module design and
+upgrades the heavy modules to production kernels:
 
-  1. `_spmv_gather_jit`   shard_map, 1 all_gather  — local SpMV, gather evals
-  2. `_h_from_evs_jit`    plain jit, replicated    — NTT coset quotient
-  3. `_local_msm_g1_jit`  shard_map, NO collectives — ONE G1 double-and-add
-     scan over the five concatenated local MSM segments + a scan-based
-     segmented accumulator (one inlined group-law instance total)
-  4. `_local_msm_g2_jit`  shard_map, NO collectives — ONE G2 scan + fold
+  1. `_spmv_gather_jit`   shard_map — local SpMV; evals stay SHARDED when
+     the four-step NTT runs (n_pad >= D^2), else 1 all_gather (toy fallback)
+  2. quotient: `sharded_ntt.sharded_h_from_evs` — four-step sharded
+     intt/coset_ntt/coset_intt chain, all_to_all transposes only, every
+     intermediate sharded (replaces round 4's fully REPLICATED NTT — every
+     device redundantly computed the full transform, the 2^20 scaling wall
+     VERDICT r4 named); `_h_from_evs_jit` remains as the small-n fallback
+  3. `_local_msm_g1_jit`  shard_map, NO collectives — the five local MSM
+     segments stacked as a batch axis through ONE traced Pippenger pass
+     (ops/msm.py msm_pippenger_many_traced; replaces the 256-step
+     double-and-add scan, ~16x the point work)
+  4. `_local_msm_g2_jit`  shard_map, NO collectives — G2 Pippenger
   5. `_combine_jit`       shard_map, 2 all_gathers — gather per-device
      partials, fold over the device axis with a scanned add (works for ANY
      device count, not just powers of two — ADVICE.md r3 #3), assemble proof
 
-Collective schedule per prove: 3 unconditional, shape-static all_gathers
-(evals, G1 partials, G2 partials), all inside single-collective thin modules
-executed in program order by every device. Modules 3 and 4 — the heavy
-compiles — contain no collectives at all, so there is no rendezvous to
-deadlock: a straggler can only be late, not inconsistent.
-
-Compile-cost inventory per module (the round-1..3 failure axis): one scan
-body each for modules 3/4 (double-and-add) plus one scanned point_add for
-the folds; module 5 inlines three small scanned adds; modules 1/2 are
-elementwise limb code. Nothing inlines log2(n) unrolled group-law trees.
+Collective schedule per prove: shape-static, unconditional, identical on
+every device — the all_to_all transposes of the NTT chain plus 2 all_gathers
+of per-device partial points (and the eval all_gather only on the toy
+fallback). The heavy MSM modules contain no collectives at all, so there is
+no rendezvous to deadlock: a straggler can only be late, not inconsistent.
 
 Data placement (the ZK analogs of dp/sp axes — SURVEY.md §5 long-context
 note: the scaling axes here are the constraint and point-stream axes):
@@ -88,15 +88,14 @@ def _fr_spec():
 # count. The unrolled pad-to-pow2 trees they replace inlined one instance per
 # level per segment and pushed the fused prove module past XLA-CPU's
 # 6-minute compile alarm (MULTICHIP_r03).
-_segmented_sum = C.segmented_sum
 _scan_fold = C.scan_fold
 
 
-# -- module 1: sharded SpMV + eval gather ------------------------------------
+# -- module 1: sharded SpMV (+ optional eval gather) -------------------------
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
-def _spmv_gather_jit(mesh, axis, a_idx, a_val, b_idx, b_val, c_idx, c_val,
-                     w_mont):
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "gather"))
+def _spmv_gather_jit(mesh, axis, gather, a_idx, a_val, b_idx, b_val, c_idx,
+                     c_val, w_mont):
     fr = _fr_spec()
     shp = lambda a: P(axis, *([None] * (a.ndim - 1)))
     rep = lambda a: P(*([None] * a.ndim))
@@ -108,14 +107,17 @@ def _spmv_gather_jit(mesh, axis, a_idx, a_val, b_idx, b_val, c_idx, c_val,
         b_ev = _spmv(b_idx, b_val, w_mont, None, fr)
         c_ev = _spmv(c_idx, c_val, w_mont, None, fr)
         evs = jnp.stack([a_ev, b_ev, c_ev], axis=0)     # [3, local, K]
-        # collective 1 of 3: assemble the full evaluation vectors everywhere
+        if not gather:
+            # four-step sharded NTT downstream: evals STAY sharded
+            return evs
+        # small-n fallback (replicated NTT): assemble full vectors everywhere
         return jax.lax.all_gather(evs, axis, axis=1, tiled=True)
 
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(shp(a_idx), shp(a_val), shp(b_idx), shp(b_val),
                   shp(c_idx), shp(c_val), rep(w_mont)),
-        out_specs=P(None, None, None),
+        out_specs=P(None, None, None) if gather else P(None, axis, None),
         check_vma=False,
     )
     return fn(a_idx, a_val, b_idx, b_val, c_idx, c_val, w_mont)
@@ -132,31 +134,54 @@ def _h_from_evs_jit(n_pad, evs):
     return L.from_mont(h_mont, _fr_spec())
 
 
-# -- module 3: local G1 MSM scan (no collectives) ----------------------------
+# -- module 3: local G1 Pippenger MSMs (no collectives) ----------------------
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis", "segs"))
-def _local_msm_g1_jit(mesh, axis, segs, g1_u, g1_wit, g1_xt, g1_v,
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "axis", "segs", "c", "wc"))
+def _local_msm_g1_jit(mesh, axis, segs, c, wc, g1_u, g1_wit, g1_xt, g1_v,
                       u_scal, wit_scal, h_plain, su_scal, rv_scal):
+    """The five local MSM segments [U | wit | xt | s*U | r*V] stacked as a
+    batch axis and run through ONE traced Pippenger pass (the same
+    collective-free local phase as sharded_msm_explicit; HLO-asserted in
+    tests/test_parallel.py). Replaces the round-4 256-step double-and-add
+    scan + sequential segmented accumulator, which did ~16x the point work
+    and was the reason the sharded prove had no at-scale evidence
+    (VERDICT r4 missing item 3)."""
+    from zk_toolkit_tpu.ops import msm as M
+
     fq = _fq()
     shp = lambda a: P(axis, *([None] * (a.ndim - 1)))
     tshp = lambda t: tuple(shp(x) for x in t)
+    n_max = max(segs)
 
     def local(g1_u, g1_wit, g1_xt, g1_v, u_scal, wit_scal, h_loc, su_scal,
               rv_scal):
-        # ONE scan over the concatenated segments [U | wit | xt | s*U | r*V]
-        pts = tuple(
-            jnp.concatenate([u, w_, xt, u, v], axis=0)
-            for u, w_, xt, v in zip(g1_u, g1_wit, g1_xt, g1_v)
-        )
-        scal = jnp.concatenate(
-            [u_scal, wit_scal, h_loc, su_scal, rv_scal], axis=0
-        )
-        muls = C.scalar_mul(fq, pts, scal, FR_BITS)
-        seg_ids = jnp.repeat(
-            jnp.arange(len(segs), dtype=jnp.int32), jnp.asarray(segs),
-            total_repeat_length=sum(segs),
-        )
-        return _segmented_sum(fq, muls, seg_ids, len(segs))  # [5, ...]
+        seg_pts = (g1_u, g1_wit, g1_xt, g1_u, g1_v)
+        seg_scal = (u_scal, wit_scal, h_loc, su_scal, rv_scal)
+        inf = C.infinity_like(fq, tuple(a[:1] for a in g1_u))
+        pts5 = []
+        for i in range(3):
+            rows = []
+            for t, ln in zip(seg_pts, segs):
+                a = t[i]
+                if ln < n_max:
+                    a = jnp.concatenate(
+                        [a, jnp.broadcast_to(inf[i],
+                                             (n_max - ln,) + a.shape[1:])],
+                        axis=0)
+                rows.append(a)
+            pts5.append(jnp.stack(rows, axis=0))         # [5, n_max, ...]
+        scal_rows = []
+        for s_, ln in zip(seg_scal, segs):
+            if ln < n_max:
+                s_ = jnp.concatenate(
+                    [s_, jnp.zeros((n_max - ln,) + s_.shape[1:], s_.dtype)],
+                    axis=0)
+            scal_rows.append(s_)
+        scal5 = jnp.stack(scal_rows, axis=0)             # [5, n_max, S]
+        return M.msm_pippenger_many_traced(
+            fq, tuple(pts5), scal5, FR_BITS, c, window_chunk=wc
+        )                                                # [5, ...]
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -170,17 +195,19 @@ def _local_msm_g1_jit(mesh, axis, segs, g1_u, g1_wit, g1_xt, g1_v,
               rv_scal)
 
 
-# -- module 4: local G2 MSM scan (no collectives) ----------------------------
+# -- module 4: local G2 Pippenger MSM (no collectives) -----------------------
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
-def _local_msm_g2_jit(mesh, axis, g2_v, u_scal):
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "c", "wc"))
+def _local_msm_g2_jit(mesh, axis, c, wc, g2_v, u_scal):
+    from zk_toolkit_tpu.ops import msm as M
+
     po = PO.bls_pairing_ops()
     shp = lambda a: P(axis, *([None] * (a.ndim - 1)))
     tshp = lambda t: tuple(shp(x) for x in t)
 
     def local(g2_v, u_scal):
-        muls = C.scalar_mul(po.e2, g2_v, u_scal, FR_BITS)
-        part = _scan_fold(po.e2, muls)
+        part = M.msm_pippenger_traced(po.e2, g2_v, u_scal, FR_BITS, c,
+                                      window_chunk=wc)
         return tuple(a[None] for a in part)              # [1, ...]
 
     fn = jax.shard_map(
@@ -360,22 +387,41 @@ def sharded_prove(mesh, mat, crs, wires, r: int, s: int, axis: str = "shard"):
     cw = (mat.m + 1) // d
     segs = (cw, g1_wit[0].shape[0] // d, mat.n_pad // d, cw, cw)
 
-    # modules 1+2: sharded SpMV -> replicated quotient coefficients
+    # modules 1+2: sharded SpMV -> quotient coefficients. At n_pad >= d^2
+    # the quotient runs as the four-step sharded NTT chain (explicit
+    # all_to_all transposes, everything stays sharded — SURVEY §7 step 8);
+    # below that the replicated ops/ntt.py path is cheaper than a d-way
+    # four-step on toy domains.
+    use_sharded_ntt = mat.n_pad >= d * d
     evs = _spmv_gather_jit(
-        mesh, axis,
+        mesh, axis, not use_sharded_ntt,
         jnp.asarray(mat.a_idx), jnp.asarray(mat.a_val),
         jnp.asarray(mat.b_idx), jnp.asarray(mat.b_val),
         jnp.asarray(mat.c_idx), jnp.asarray(mat.c_val),
         w_mont,
     )
-    h_plain = _h_from_evs_jit(mat.n_pad, evs)
+    if use_sharded_ntt:
+        from zk_toolkit_tpu.parallel.sharded_ntt import sharded_h_from_evs
 
-    # modules 3+4: local MSM scans (collective-free)
+        h_mont = sharded_h_from_evs(evs[0], evs[1], evs[2], mesh, axis)
+        h_plain = L.from_mont(h_mont, fr)
+    else:
+        h_plain = _h_from_evs_jit(mat.n_pad, evs)
+
+    # modules 3+4: local Pippenger MSMs (collective-free)
+    from zk_toolkit_tpu.ops import msm as M
+
+    c_g1 = M.default_window_bits(max(segs))
+    wc_g1 = M._auto_window_chunk(
+        max(segs) * len(segs), (FR_BITS + c_g1 - 1) // c_g1, 72
+    )
+    c_g2 = M.default_window_bits(segs[0])
+    wc_g2 = M._auto_window_chunk(segs[0], (FR_BITS + c_g2 - 1) // c_g2, 144)
     g1_parts = _local_msm_g1_jit(
-        mesh, axis, segs, crs.g1_u, g1_wit, g1_xt, crs.g1_v,
+        mesh, axis, segs, c_g1, wc_g1, crs.g1_u, g1_wit, g1_xt, crs.g1_v,
         u_scal, wit_scal, h_plain, su_scal, rv_scal,
     )
-    g2_parts = _local_msm_g2_jit(mesh, axis, crs.g2_v, u_scal)
+    g2_parts = _local_msm_g2_jit(mesh, axis, c_g2, wc_g2, crs.g2_v, u_scal)
     # Barrier before the collective module: bounds per-device queue skew so
     # no device reaches module 5's all_gather rendezvous >40 s before a
     # straggler (XLA-CPU aborts past that window — see sharded_msm.py).

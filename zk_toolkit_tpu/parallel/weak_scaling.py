@@ -70,7 +70,7 @@ def main():
     from zk_toolkit_tpu.ops import curve_ops as C, limbs as L
     from zk_toolkit_tpu.ops import ntt as NTT
     from zk_toolkit_tpu.ops.field_ops import FqOps
-    from zk_toolkit_tpu.parallel.mesh import make_mesh, shard_leading
+    from zk_toolkit_tpu.parallel.mesh import make_mesh
     from zk_toolkit_tpu.parallel.sharded_msm import sharded_msm_explicit
     from zk_toolkit_tpu.utils import host_curve as HC
 
@@ -126,7 +126,10 @@ def main():
         t0 = time.time()
         for _ in range(reps):
             res = sharded_msm_explicit(ops, pts, scal, nbits, mesh, c=4)
-        jax.block_until_ready(res)
+            # inter-rep barrier: without it per-device queues drift and a
+            # straggler can miss XLA-CPU's 40 s collective rendezvous window
+            # (the BENCH_r04 "only 7 of 8 arrived" abort)
+            jax.block_until_ready(res)
         out["msm"][str(d)] = {
             "seconds": (time.time() - t0) / reps,
             "first_call_s": compile_s,
@@ -134,7 +137,10 @@ def main():
             "correct_vs_host_oracle": True,
         }
 
-    # sharded NTT (auto-SPMD placement): fixed rows-per-device
+    # sharded NTT: the explicit four-step transform (sharded_ntt.py —
+    # all_to_all transposes + local row butterflies), fixed rows-per-device.
+    from zk_toolkit_tpu.parallel.sharded_ntt import sharded_ntt
+
     n_rows_local = int(os.environ.get("ZKT_SCALING_NTT_LOCAL", 2048))
     fr = L.field_spec(params.R)
     for d in (1, d_max):
@@ -146,20 +152,22 @@ def main():
         )
         dev = jnp.asarray(coeffs_np)
         want = np.asarray(jax.device_get(NTT.ntt(dom, dev)))
-        sharded = shard_leading(mesh, dev)
-        got = np.asarray(jax.device_get(NTT.ntt(dom, sharded)))
+        got = np.asarray(jax.device_get(sharded_ntt(dev, mesh)))
         if not (got == want).all():
             print(json.dumps({"error": f"sharded NTT wrong at d={d}"}))
             sys.exit(1)
         reps = 3
         t0 = time.time()
         for _ in range(reps):
-            r = NTT.ntt(dom, sharded)
-        jax.block_until_ready(r)
+            r = sharded_ntt(dev, mesh)
+            # inter-rep barrier — same rendezvous-skew guard as the MSM loop
+            # (this loop, unbarried, was the BENCH_r04 all-gather abort)
+            jax.block_until_ready(r)
         out["ntt"][str(d)] = {
             "seconds": (time.time() - t0) / reps,
             "n_rows": n,
             "matches_unsharded": True,
+            "transform": "four_step_all_to_all",
         }
 
     t1 = out["msm"]["1"]["seconds"]
@@ -173,9 +181,11 @@ def main():
     if dump_dir:
         inv = _collective_inventory(dump_dir)
         out["collectives_by_module"] = inv
+        designed = ("gather_fold", "ntt", "four_step", "quotient",
+                    "gather_tail")
         local_bad = {
-            k: v for k, v in inv.items() if "gather_fold" not in k
-            and "ntt" not in k.lower()
+            k: v for k, v in inv.items()
+            if not any(s in k.lower() for s in designed)
         }
         out["msm_local_phase_collective_free"] = not local_bad
     print(json.dumps(out))
