@@ -224,14 +224,21 @@ def bench_groth16(quick: bool) -> dict:
     log("groth16 bench: warm-up prove ...")
     proof = prover.prove_with_rs(crs, r=5, s=6)
     jax.block_until_ready(proof.a)
-    t0 = time.perf_counter()
-    ok = GD.DeviceGroth16Verifier().verify(proof, crs, prover.statement())
-    verify_s = time.perf_counter() - t0
+    # warm-up verify: the first call pays the Miller-loop compile (~40 s),
+    # which round 4 mistakenly reported as verify_s. Time the SECOND call —
+    # execution only.
+    verifier = GD.DeviceGroth16Verifier()
+    ok = verifier.verify(proof, crs, prover.statement())
     log(f"groth16 bench: proof verifies = {ok}")
     if not ok:
         raise RuntimeError(
             "groth16 proof failed device verification — refusing to report"
         )
+    t0 = time.perf_counter()
+    ok = verifier.verify(proof, crs, prover.statement())
+    verify_s = time.perf_counter() - t0
+    if not ok:
+        raise RuntimeError("groth16 verify flipped on re-run")
     reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -318,27 +325,29 @@ def bench_weak_scaling() -> dict | None:
     if proc.returncode != 0:
         log(f"weak scaling runner failed rc={proc.returncode}: "
             f"{proc.stderr[-2000:]}")
-        return None
+        return {"error": f"runner rc={proc.returncode}: "
+                         f"{proc.stderr[-300:]}"}
     last = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
-    return json.loads(last[-1]) if last else None
+    return json.loads(last[-1]) if last else {"error": "runner emitted no JSON"}
 
 
 def host_msm_rate() -> float:
     """Single-threaded host-tier (reference-semantics) MSM points/s, measured
-    on a small sample — the stand-in baseline (the reference publishes no
-    numbers; BASELINE.md)."""
+    on 64 points (VERDICT r4: 4 samples of a ~50 pts/s path was noise) — the
+    stand-in baseline (the reference publishes no numbers; BASELINE.md)."""
     import random
     from zk_toolkit_tpu.curves.bls12_381 import g1, params
 
     random.seed(3)
-    pts = [g1.g() * random.randrange(1, params.R) for _ in range(4)]
-    ks = [random.randrange(params.R) for _ in range(4)]
+    n = 64
+    pts = [g1.g() * random.randrange(1, params.R) for _ in range(n)]
+    ks = [random.randrange(params.R) for _ in range(n)]
     t0 = time.perf_counter()
     acc = g1.infinity()
     for p, k in zip(pts, ks):
         acc = acc + p * k
     dt = time.perf_counter() - t0
-    return len(pts) / dt
+    return n / dt
 
 
 def main():
@@ -392,12 +401,20 @@ def main():
     log(f"msm: {msm_s:.3f}s ({msm_pts_per_s:.3e} pts/s)")
 
     if not quick:
+        # LOUD on failure (VERDICT r4 item 2): a missing weak_scaling field
+        # hid four rounds of crashes — absence must be an error string, not
+        # silence.
         try:
             ws = bench_weak_scaling()
-            if ws:
+            if ws and "error" not in ws:
                 extra["weak_scaling"] = ws
                 log(f"weak scaling: {json.dumps(ws)[:400]} ...")
+            else:
+                extra["weak_scaling_error"] = (
+                    ws.get("error") if ws else "runner produced no JSON"
+                )
         except Exception as e:
+            extra["weak_scaling_error"] = repr(e)
             log(f"weak scaling failed: {e!r}")
 
     try:

@@ -89,23 +89,55 @@ def build_table_cached(ops, base_jac, nbits: int, c: int, key: str):
     """build_table with .npz persistence (SURVEY.md §5 checkpoint note: the
     reference rebuilds every reusable artifact per test — the window table is
     deterministic in (generator, nbits, c), so build it once per machine).
-    Cache dir: $ZKT_TABLE_CACHE_DIR or <repo>/.zkt_tables (gitignored)."""
+    Cache dir: $ZKT_TABLE_CACHE_DIR or <repo>/.zkt_tables (gitignored).
+
+    The npz stores the table's full derivation spec (base-point limbs, field
+    modulus, limb count, nbits, c) and the loader verifies every field plus a
+    structural self-check — the w=0, d=1 entry must equal the base point —
+    before trusting the file. A stale or foreign cache file silently
+    substituting wrong window tables into every CRS is exactly the
+    at-scale-corruption class round 4 debugged (ADVICE r4)."""
     import numpy as np
 
+    spec = ops.spec if hasattr(ops, "spec") else ops.f.spec
+    base_np = tuple(np.asarray(jax.device_get(a)) for a in base_jac)
+    meta = {
+        "meta_p": np.asarray([spec.p >> (32 * i) & 0xFFFFFFFF
+                              for i in range(12)], dtype=np.uint64),
+        "meta_dims": np.asarray([spec.K, nbits, c], dtype=np.int64),
+        "meta_bx": base_np[0],
+        "meta_by": base_np[1],
+        "meta_bz": base_np[2],
+    }
     path = os.path.join(_table_cache_dir(), f"{key}_n{nbits}_c{c}.npz")
     if os.path.exists(path):
         try:
             data = np.load(path)
-            return tuple(jnp.asarray(data[f"t{i}"]) for i in range(3))
+            ok = all(
+                k in data and data[k].shape == v.shape and (data[k] == v).all()
+                for k, v in meta.items()
+            )
+            if ok:
+                table = tuple(jnp.asarray(data[f"t{i}"]) for i in range(3))
+                # structural self-check: entry w=0, d=1 is 1 * 2^0 * G = G
+                g_aff = C.to_affine(ops, base_jac)
+                e_x = np.asarray(jax.device_get(table[0][1]))
+                e_y = np.asarray(jax.device_get(table[1][1]))
+                g_x = np.asarray(jax.device_get(g_aff[0][0]))
+                g_y = np.asarray(jax.device_get(g_aff[1][0]))
+                if (e_x == g_x).all() and (e_y == g_y).all():
+                    return table
         except Exception:
-            pass  # corrupt/stale cache: rebuild below
+            pass  # corrupt/stale/foreign cache: rebuild below
     table = build_table(ops, base_jac, nbits, c)
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + f".tmp{os.getpid()}.npz"
         np.savez_compressed(
-            tmp, **{f"t{i}": np.asarray(jax.device_get(a))
-                    for i, a in enumerate(table)}
+            tmp,
+            **{f"t{i}": np.asarray(jax.device_get(a))
+               for i, a in enumerate(table)},
+            **meta,
         )
         os.replace(tmp, path)
     except OSError:
@@ -181,12 +213,14 @@ def scalar_mul_fixed(ops, table, scalars, c: int, chunk: int | None = None):
         chunk = max(8, chunk - chunk % 8)
 
     def padded(lo: int, hi: int):
-        """scalars[lo:hi] zero-padded to an aligned batch; zero scalars
-        gather only infinity rows, so padding cannot change results."""
+        """scalars[lo:hi] zero-padded to a 1024-row-aligned batch; zero
+        scalars gather only infinity rows, so padding cannot change results.
+        Sub-1024 batches also pad to 1024 (ADVICE r4): the miscompile bisect
+        only proved 1024-aligned batches safe, and the cost is bounded at
+        1023 infinity gathers once per call."""
         sl = scalars[lo:hi]
         n = hi - lo
-        step = align if n >= align else 8
-        pad = (-n) % step
+        pad = (-n) % align
         if pad:
             sl = jnp.concatenate(
                 [sl, jnp.zeros((pad,) + sl.shape[1:], dtype=sl.dtype)], axis=0

@@ -138,10 +138,19 @@ def _round_jit(mesh, axis, gg, hh, a, b, Pt, u, x_m, xi_m):
         )
         muls = C.scalar_mul(_OPS, pts, scal, 256)
 
-        # L/R partials (already x^2- / x^-2-scaled): segments of 2*half
-        lr = tuple(t[: 4 * half] for t in muls)
-        seg = jnp.repeat(jnp.arange(2, dtype=jnp.int32), 2 * half)
-        parts = C.segmented_sum(_OPS, lr, seg, 2)         # [2, ...]
+        # L/R partials (already x^2- / x^-2-scaled): the two segments are
+        # contiguous halves, so reduce with log-depth batched halving adds
+        # (ADVICE r4: the element-wise segmented scan was O(n_loc) sequential
+        # steps and dominated the round at scale).
+        lr = tuple(
+            t[: 4 * half].reshape((2, 2 * half) + t.shape[1:]) for t in muls
+        )
+        while lr[0].shape[1] > 1:
+            m = lr[0].shape[1] // 2
+            lr = C.point_add(
+                _OPS, tuple(t[:, :m] for t in lr), tuple(t[:, m:] for t in lr)
+            )
+        parts = tuple(t[:, 0] for t in lr)                # [2, ...]
         # collective 2: [D, 2, ...] partial points everywhere
         parts_all = tuple(
             jax.lax.all_gather(t[None], axis, axis=0, tiled=True)
@@ -194,6 +203,29 @@ def _round_jit(mesh, axis, gg, hh, a, b, Pt, u, x_m, xi_m):
     return fn(gg, hh, a, b, Pt, u, x_m, xi_m)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def _gather_tail_jit(mesh, axis, gg, hh, a, b):
+    """Replicate the [D, 1, ...] cyclic shards everywhere with one
+    all_gather per array (2 points + 2 scalars per device — constant)."""
+    shp = lambda t: P(axis, *([None] * (t.ndim - 1)))
+    rep = lambda t: P(*([None] * t.ndim))
+    tshp = lambda ts: tuple(shp(t) for t in ts)
+    trep = lambda ts: tuple(rep(t) for t in ts)
+
+    def local(gg, hh, a, b):
+        ag = lambda t: jax.lax.all_gather(t, axis, axis=0, tiled=True)
+        return (tuple(ag(t) for t in gg), tuple(ag(t) for t in hh),
+                ag(a), ag(b))
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(tshp(gg), tshp(hh), shp(a), shp(b)),
+        out_specs=(trep(gg), trep(hh), rep(a), rep(b)),
+        check_vma=False,
+    )
+    return fn(gg, hh, a, b)
+
+
 def sharded_ipa(mesh: Mesh, n: int, gg, hh, u, Pt, a, b,
                 challenges: list[int], axis: str = "shard") -> bool:
     """Distributed inner-product argument: P == g^a h^b u^<a,b>.
@@ -204,7 +236,13 @@ def sharded_ipa(mesh: Mesh, n: int, gg, hh, u, Pt, a, b,
     DeviceBulletproofs.inner_product_argument (asserted in tests).
     """
     d = mesh.shape[axis]
-    assert n % d == 0 and n >= d, "need D | n"
+    # n and d must BOTH be powers of two: the halving loop needs every local
+    # slice length even, and fold co-location needs D | n/2 at every round
+    # (ADVICE r4: n = 6d passed the old multiple-of-d assert but silently
+    # dropped an element at half = 3 // 2).
+    assert n >= d and n & (n - 1) == 0 and d & (d - 1) == 0, (
+        "sharded IPA needs power-of-two n and mesh size with n >= D"
+    )
     chal = list(challenges)
     gg, hh, a, b = shard_ipa_inputs(mesh, gg, hh, a, b, axis)
 
@@ -219,13 +257,15 @@ def sharded_ipa(mesh: Mesh, n: int, gg, hh, u, Pt, a, b,
 
     # tail: local slice is one element; finish replicated on gathered data
     # (cyclic layout with j == 0 means global index i == device index k, so
-    # squeezing the local axis restores global order).
-    gg = tuple(jnp.asarray(np.asarray(jax.device_get(t))[:, 0]) for t in gg)
-    hh = tuple(jnp.asarray(np.asarray(jax.device_get(t))[:, 0]) for t in hh)
-    a = jnp.asarray(np.asarray(jax.device_get(a))[:, 0])
-    b = jnp.asarray(np.asarray(jax.device_get(b))[:, 0])
-    Pt = tuple(jnp.asarray(np.asarray(jax.device_get(t))) for t in Pt)
-    u = tuple(jnp.asarray(np.asarray(jax.device_get(t))) for t in u)
+    # squeezing the local axis restores global order). The gather is a final
+    # shard_map all_gather — NOT host device_get, which requires all shards
+    # to be process-addressable and would fail on a real multi-host pod
+    # (ADVICE r4).
+    gg, hh, a, b = _gather_tail_jit(mesh, axis, gg, hh, a, b)
+    gg = tuple(t[:, 0] for t in gg)
+    hh = tuple(t[:, 0] for t in hh)
+    a = a[:, 0]
+    b = b[:, 0]
     while n > 1:
         x = chal.pop(0) % N_ORDER
         xi = pow(x, -1, N_ORDER)
