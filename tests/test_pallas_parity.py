@@ -145,3 +145,65 @@ def test_dispatch_routes_to_pallas_on_tpu():
     default = L.mont_mul(a, b, spec)
     forced = jax.jit(lambda x, y: L._mont_mul_xla(x, y, spec))(a, b)
     np.testing.assert_array_equal(np.asarray(default), np.asarray(forced))
+
+
+# -- fused group-law kernel parity (ops/curve_kernels.py) ---------------------
+
+def _random_points(n, seed):
+    """Host-derived BLS12-381 G1 points packed as Montgomery Jacobian."""
+    from zk_toolkit_tpu.curves.bls12_381 import g1
+    from zk_toolkit_tpu.ops import curve_ops as C
+
+    spec = L.field_spec(params.Q)
+    gp = g1.g()
+    pts = [gp * (seed + i) for i in range(n - 2)] + [g1.infinity()] * 2
+    return C.pack_points(pts, spec), spec
+
+
+def test_point_add_kernel_vs_xla_and_host():
+    """The fused Jacobian-add kernel is bit-identical (in affine) to the XLA
+    formula path on every case class: generic, P == Q (double), P == -Q
+    (infinity), and either operand at infinity."""
+    import jax.numpy as jnp
+
+    from zk_toolkit_tpu.ops import curve_kernels as CK
+    from zk_toolkit_tpu.ops import curve_ops as C
+    from zk_toolkit_tpu.ops.field_ops import FqOps
+
+    n = 512
+    p_dev, spec = _random_points(n, seed=3)
+    q_dev, _ = _random_points(n, seed=250)
+    ops = FqOps(spec)
+    # row 7: double case (P == Q); row 9: inverse case (P == -Q)
+    p_dev = tuple(a.at[7].set(a[12]) for a in p_dev)
+    q_dev = tuple(a.at[7].set(b[12]) for a, b in zip(q_dev, p_dev))
+    neg = C.point_neg(ops, tuple(a[9:10] for a in p_dev))
+    q_dev = tuple(a.at[9].set(x[0]) for a, x in zip(q_dev, neg))
+
+    fused = jax.jit(lambda p, q: CK.point_add_fused(p, q, spec))
+    xla = jax.jit(lambda p, q: C._point_add_formula(ops, p, q))
+    got = C.unpack_points(fused(p_dev, q_dev), spec)
+    want = C.unpack_points(xla(p_dev, q_dev), spec)
+    assert got == want
+
+    from zk_toolkit_tpu.curves.bls12_381 import g1
+    gp = g1.g()
+    generic = (gp * 3) + (gp * 250)
+    assert got[0] == (generic.x.e, generic.y.e)
+    dbl = (gp * 15) + (gp * 15)
+    assert got[7] == (dbl.x.e, dbl.y.e)
+    assert got[9] is None  # P + (-P) = infinity
+
+
+def test_point_double_kernel_vs_xla():
+    from zk_toolkit_tpu.ops import curve_kernels as CK
+    from zk_toolkit_tpu.ops import curve_ops as C
+    from zk_toolkit_tpu.ops.field_ops import FqOps
+
+    p_dev, spec = _random_points(512, seed=77)
+    ops = FqOps(spec)
+    fused = jax.jit(lambda p: CK.point_double_fused(p, spec))
+    xla = jax.jit(lambda p: C._point_double_formula(ops, p))
+    got = C.unpack_points(fused(p_dev), spec)
+    want = C.unpack_points(xla(p_dev), spec)
+    assert got == want

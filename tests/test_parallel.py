@@ -317,3 +317,51 @@ def test_sharded_groth16_prove(mesh):
     for got, want in zip(proof.a + proof.b + proof.c,
                          ref.a + ref.b + ref.c):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_batch_pairing_product(mesh):
+    """Mesh-sharded batched pairing verify (coverage row 37's last gap): the
+    batched pairing-product check with its batch axis sharded over the
+    virtual mesh returns bit-identical verdicts to the unsharded run.
+    Rows are e(aG1, bG2) * e(-(ab)G1, G2) == 1 (true) with one corrupted
+    row (false). Reference behavior: bls12_381/signature.rs:8-45 batch
+    verify analog; the device Groth16 verifier rides the same kernel."""
+    import numpy as np
+    from zk_toolkit_tpu.curves.bls12_381 import g1, g2, params
+    from zk_toolkit_tpu.ops import pairing_ops as PO
+
+    ops = PO.bls_pairing_ops()
+    spec = ops.f.spec
+    random.seed(41)
+    b = 8
+    p_rows, q_rows, expect = [], [], []
+    for i in range(b):
+        a_s = random.randrange(1, 1 << 30)
+        b_s = random.randrange(1, 1 << 30)
+        p1 = g1.g() * a_s
+        q1 = g2.g() * b_s
+        p2 = g1.g() * ((-(a_s * b_s)) % params.R)
+        q2 = g2.g()
+        if i == 5:  # corrupt one row
+            p2 = g1.g() * ((-(a_s * b_s) + 7) % params.R)
+        p_rows += [p1, p2]
+        q_rows += [q1, q2]
+        expect.append(i != 5)
+
+    pa = tuple(
+        a.reshape((b, 2) + a.shape[1:])
+        for a in PO.pack_g1_affine(p_rows, spec)
+    )
+    qa = tuple(
+        a.reshape((b, 2) + a.shape[1:])
+        for a in PO.pack_g2_affine(q_rows, spec)
+    )
+    want = np.asarray(jax.device_get(PO.pairing_product_is_one(ops, pa, qa)))
+    assert list(want) == expect
+
+    pa_s = shard_leading(mesh, pa)
+    qa_s = shard_leading(mesh, qa)
+    got = np.asarray(
+        jax.device_get(PO.pairing_product_is_one(ops, pa_s, qa_s))
+    )
+    np.testing.assert_array_equal(got, want)

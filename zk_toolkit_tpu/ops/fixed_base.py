@@ -167,7 +167,18 @@ def _gather_fold(ops, table, scalars, c: int):
     digs = jnp.stack([_digits(scalars, c, w) for w in range(n_win)], axis=0)
     wi = jnp.arange(n_win, dtype=jnp.uint32)[:, None]
     flat_idx = wi * jnp.uint32(m) + digs                     # [W, B]
-    pts = _lift(ops, tuple(jnp.take(a, flat_idx, axis=0) for a in table))
+    # fused-coordinate gather: one wide-row take instead of three (TPU
+    # row-gathers are row-count-limited; same trick as msm._sorted_stream)
+    t_rows = table[0].shape[0]
+    ax_f = table[0].reshape(t_rows, -1)
+    ay_f = table[1].reshape(t_rows, -1)
+    wx = ax_f.shape[-1]
+    comb = jnp.concatenate([ax_f, ay_f], axis=-1)
+    g = jnp.take(comb, flat_idx, axis=0)                     # [W, B, 2*wx]
+    gax = g[..., :wx].reshape((n_win,) + scalars.shape[:1] + table[0].shape[1:])
+    gay = g[..., wx:].reshape((n_win,) + scalars.shape[:1] + table[1].shape[1:])
+    ginf = jnp.take(table[2], flat_idx, axis=0)
+    pts = _lift(ops, (gax, gay, ginf))
     # pad W to a power of two with infinity, then halve along axis 0
     n = n_win
     target = 1 << max(0, (n - 1).bit_length())

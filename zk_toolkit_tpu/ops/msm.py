@@ -6,23 +6,30 @@ hot op of Groth16/Pinocchio proving (prover.rs:96-147) — with a bucketed
 Pippenger whose every stage is a *batched* device op:
 
   1. digits:   c-bit windows of each scalar (c | 16 so digits are limb slices)
-  2. sort:     per window, points sorted by digit (XLA sort on uint32 keys)
-  3. buckets:  per-digit sums via a SEGMENTED PAIRWISE-MERGE TREE over the
-               sorted stream: each level merges adjacent node pairs with one
-               batched point-add; a segment that both merge sides seal is
-               "emitted" — scattered into the dense 2^c bucket array. Work is
-               exactly N-1 adds per window, in log2(N) batched rounds.
-  4. window:   sum_b b * B_b via the suffix-sum identity sum_{k>=1} T_k,
-               T_k = sum_{b>=k} B_b — a work-efficient two-sweep (Blelloch)
-               suffix scan over the bucket axis + a pairwise tree-sum.
+  2. sort:     per window, points sorted by digit (XLA sort on uint32 keys;
+               the point gather reads the unbroadcast source with one fused
+               wide-row take — see _sorted_stream)
+  3. up-sweep: a pairwise SUM TREE over the sorted stream — levels[l][i] =
+               sum of block [i*2^l, (i+1)*2^l) — N-1 batched point-adds per
+               window, each level one call of the fused Pallas group-law
+               kernel (ops/curve_kernels.py)
+  4. window:   sum_b b * B_b WITHOUT materializing buckets, via the suffix
+               identity sum_b b*B_b = (2^c-1)*Total - sum_k S_ex[p_k]:
+               boundary positions p_k by binary search on the sorted keys,
+               exclusive prefix sums at the boundaries by Fenwick
+               decomposition over the up-sweep levels (log2(N) gathered
+               nodes each). No scatter anywhere — XLA serializes colliding
+               scatter rows, which made the previous merge-tree + bucket-
+               scatter design run at ~6x its arithmetic floor. (That engine
+               is kept under ZKT_MSM_ENGINE=merge for A/B.)
   5. combine:  Horner over windows, c doublings per step.
 
-Compile-friendliness is load-bearing: every tree level is its own small
-jitted executable (one batched point-add, static shape). A single fused graph
-(or `lax.associative_scan`, which inlines its combiner 2*log2(N) times) takes
-tens of minutes of XLA compile time for 381-bit limb arithmetic; per-level
-executables compile in seconds, are shared across windows (same shapes), and
-persist in the compilation cache.
+Dispatch structure is platform-adaptive (_fused): on accelerators each whole
+window pass is ONE jitted executable (per-executable launch through the
+tunneled runtime costs ~1.3 ms even fully async — an eager per-level
+structure wastes tens of seconds per 2^20 MSM); on CPU the per-level jitted
+helpers stay separate executables that compile in seconds and are shared
+across every shape and test.
 
 Generic over the coordinate-field ops namespace, so the same code does
 secp256k1, BLS12-381 G1 (FqOps) and G2 (Fq2Ops) MSMs. The sharded multi-chip
@@ -252,23 +259,36 @@ def _sorted_stream(ops, pts, digits, src_cols: int):
     the input points: the per-column gather reads the source stream
     directly (jnp.take with a [N, M] index), so the only M-wide array ever
     written is the sorted copy itself. pts: [N, ...] when src_cols == 1,
-    else [N, B, ...]; digits: [N(, M)] with M = B * (windows per source)."""
+    else [N, B, ...]; digits: [N(, M)] with M = B * (windows per source).
+
+    The three coordinate arrays are fused into ONE gather over a
+    limb-concatenated [..., 3*K'] view: TPU row-gathers are rate-limited by
+    row count, so one 288-byte-row gather beats three 96-byte-row gathers
+    ~3x (measured round 5)."""
     order = jnp.argsort(digits, axis=0)
     keys = jnp.take_along_axis(digits, order, axis=0)
     n = digits.shape[0]
+    flat = [a.reshape(a.shape[: 2 if src_cols > 1 else 1] + (-1,))
+            for a in pts]
+    widths = [a.shape[-1] for a in flat]
+    comb = jnp.concatenate(flat, axis=-1)         # [N(, B), sum(K')]
+    if src_cols == 1:
+        out = jnp.take(comb, order, axis=0)       # [N, M, sum(K')]
+    else:
+        m = digits.shape[1]
+        w = m // src_cols
+        ord3 = order.reshape(n, src_cols, w)
+        out = jax.vmap(
+            lambda ab, ob: jnp.take(ab, ob, axis=0),
+            in_axes=(1, 1), out_axes=1,
+        )(comb, ord3)                             # [N, B, W, sum(K')]
+        out = out.reshape((n, m, out.shape[-1]))
     spts = []
-    for a in pts:
-        if src_cols == 1:
-            spts.append(jnp.take(a, order, axis=0))
-        else:
-            m = digits.shape[1]
-            w = m // src_cols
-            ord3 = order.reshape(n, src_cols, w)
-            out = jax.vmap(
-                lambda ab, ob: jnp.take(ab, ob, axis=0),
-                in_axes=(1, 1), out_axes=1,
-            )(a, ord3)                            # [N, B, W, ...]
-            spts.append(out.reshape((n, m) + a.shape[2:]))
+    off = 0
+    for a, wd in zip(pts, widths):
+        trailing = a.shape[2:] if src_cols > 1 else a.shape[1:]
+        spts.append(out[..., off : off + wd].reshape(out.shape[:2] + trailing))
+        off += wd
     return keys, tuple(spts)
 
 

@@ -170,6 +170,51 @@ def main():
             "transform": "four_step_all_to_all",
         }
 
+    # sharded Groth16 prove at fixed total size, d = 1 vs d = 8 (the
+    # sharded-vs-single prove ratio VERDICT r4 item 4 asked for; errors are
+    # loud but do not sink the msm/ntt numbers above)
+    if os.environ.get("ZKT_SCALING_PROVE", "1") != "0":
+        try:
+            from zk_toolkit_tpu.parallel.sharded_groth16 import sharded_prove
+            from zk_toolkit_tpu.protocols import groth16_device as GD
+            from zk_toolkit_tpu.snark.synthetic import synthetic_r1cs
+
+            n_cons = int(os.environ.get("ZKT_SCALING_PROVE_N", 2048))
+            tmpl, wit = synthetic_r1cs(
+                params.SUBGROUP, n_cons, seed=5, pad_wires_to=d_max
+            )
+            mat = GD.CircuitMatrices.from_tmpl(tmpl)
+            crs = GD.DeviceCRS.from_trapdoor(
+                mat, tau=5, alpha=6, beta=7, gamma=8, delta=9,
+                point_mode="host",
+            )
+            prover = GD.DeviceGroth16Prover(mat, wit)
+            out["groth16_prove"] = {}
+            for d in (1, d_max):
+                mesh = make_mesh(d, platform="cpu")
+                proof = sharded_prove(mesh, mat, crs, prover.wires,
+                                      r=11, s=13)           # warm-up/compile
+                jax.block_until_ready(proof.a)
+                ok = GD.host_oracle_verify(crs, proof, prover.statement())
+                if not ok:
+                    out["groth16_prove"][str(d)] = {"error": "proof invalid"}
+                    continue
+                t0 = time.time()
+                proof = sharded_prove(mesh, mat, crs, prover.wires,
+                                      r=13, s=17)
+                jax.block_until_ready(proof.a)
+                out["groth16_prove"][str(d)] = {
+                    "seconds": time.time() - t0,
+                    "n_constraints": n_cons,
+                    "verified_host_oracle": True,
+                }
+            s1 = out["groth16_prove"].get("1", {}).get("seconds")
+            sd = out["groth16_prove"].get(str(d_max), {}).get("seconds")
+            if s1 and sd:
+                out["groth16_prove"]["sharded_over_single_ratio"] = sd / s1
+        except Exception as e:  # pragma: no cover
+            out["groth16_prove_error"] = repr(e)
+
     t1 = out["msm"]["1"]["seconds"]
     td = out["msm"][str(d_max)]["seconds"]
     out["msm"]["cpu_mesh_time_ratio_t1_over_td"] = t1 / td
