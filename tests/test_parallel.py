@@ -101,9 +101,12 @@ def test_sharded_msm_local_phase_collective_free(mesh):
     pts_s = tuple(sh(a) for a in pts_r)
     scal_s = sh(scal_r)
 
-    fn = jax.jit(lambda p, s: M.msm_pippenger_many(ops, p, s, 32, c=4))
+    from zk_toolkit_tpu.parallel import sharded_msm as SM
+
     with mesh:
-        txt = fn.lower(pts_s, scal_s).compile().as_text()
+        txt = SM._local_phase_jit.lower(
+            mesh, "shard", ops, 32, 4, pts_s, scal_s
+        ).compile().as_text()
     hits = re.findall(
         r"all-gather|all-reduce|all-to-all|collective-permute|reduce-scatter",
         txt,

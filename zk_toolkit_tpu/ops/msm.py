@@ -258,8 +258,9 @@ def _sorted_stream(ops, pts, digits, src_cols: int):
     """Sorted (keys, points) WITHOUT materializing a [N, M, ...] broadcast of
     the input points: the per-column gather reads the source stream
     directly (jnp.take with a [N, M] index), so the only M-wide array ever
-    written is the sorted copy itself. pts: [N, ...] when src_cols == 1,
-    else [N, B, ...]; digits: [N(, M)] with M = B * (windows per source).
+    written is the sorted copy itself. pts: [N, ...] when src_cols == 0
+    (single source stream), else [N, B, ...] with B source columns (B may
+    be 1); digits: [N(, M)] with M = B * (windows per source).
 
     The three coordinate arrays are fused into ONE gather over a
     limb-concatenated [..., 3*K'] view: TPU row-gathers are rate-limited by
@@ -268,11 +269,11 @@ def _sorted_stream(ops, pts, digits, src_cols: int):
     order = jnp.argsort(digits, axis=0)
     keys = jnp.take_along_axis(digits, order, axis=0)
     n = digits.shape[0]
-    flat = [a.reshape(a.shape[: 2 if src_cols > 1 else 1] + (-1,))
+    flat = [a.reshape(a.shape[: 2 if src_cols else 1] + (-1,))
             for a in pts]
     widths = [a.shape[-1] for a in flat]
     comb = jnp.concatenate(flat, axis=-1)         # [N(, B), sum(K')]
-    if src_cols == 1:
+    if src_cols == 0:
         out = jnp.take(comb, order, axis=0)       # [N, M, sum(K')]
     else:
         m = digits.shape[1]
@@ -285,9 +286,10 @@ def _sorted_stream(ops, pts, digits, src_cols: int):
         out = out.reshape((n, m, out.shape[-1]))
     spts = []
     off = 0
+    lead = out.shape[: digits.ndim]   # (N,) or (N, M)
     for a, wd in zip(pts, widths):
-        trailing = a.shape[2:] if src_cols > 1 else a.shape[1:]
-        spts.append(out[..., off : off + wd].reshape(out.shape[:2] + trailing))
+        trailing = a.shape[2:] if src_cols else a.shape[1:]
+        spts.append(out[..., off : off + wd].reshape(lead + trailing))
         off += wd
     return keys, tuple(spts)
 
@@ -311,10 +313,27 @@ def _sorted_stream(ops, pts, digits, src_cols: int):
 #      sum_b b*B_b = sum_k T_k,  T_k = Total - S_ex[p_k]
 #                  = (2^c-1)*Total - sum_k S_ex[p_k].
 
+def _flat_add(ops, a, b):
+    """point_add with all leading batch axes flattened to ONE: XLA-CPU
+    compile time of the limb graphs explodes on rank-3 [N, W, K] operands
+    (measured 149 s per up-sweep level at dryrun shapes vs ~9 s rank-2),
+    and the rank is irrelevant to the math."""
+    nd = getattr(ops, "ndim_struct", 1)
+    shape = a[0].shape
+    batch_dims = a[0].ndim - nd
+    if batch_dims <= 1:
+        return C.point_add(ops, a, b)
+    flat = lambda t: tuple(x.reshape((-1,) + x.shape[batch_dims:]) for x in t)
+    out = C.point_add(ops, flat(a), flat(b))
+    return tuple(
+        x.reshape(shape[:batch_dims] + x.shape[1:]) for x in out
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _pair_halve(ops, cur):
     """One up-sweep level: add even/odd neighbours along axis 0."""
-    return C.point_add(
+    return _flat_add(
         ops, tuple(a[0::2] for a in cur), tuple(a[1::2] for a in cur)
     )
 
@@ -323,7 +342,7 @@ def _pair_halve(ops, cur):
 def _half_fold(ops, cur):
     """One reduction level: add first half to second half along axis 0."""
     n = cur[0].shape[0]
-    return C.point_add(
+    return _flat_add(
         ops, tuple(a[: n // 2] for a in cur), tuple(a[n // 2 :] for a in cur)
     )
 
@@ -366,22 +385,9 @@ def _fenwick_gather_level(ops, lev, p, l: int):
     return C.select_point(ops, bit == 1, g, inf)
 
 
-def _fenwick_prefix(ops, levels, p):
-    """S_ex[p] for each boundary position p (uint32[M(,W)], values in [0,N]):
-    sum of levels[l][(p >> l) - 1] over set bits l. levels[l] is the up-sweep
-    node array with leading length N / 2^l (levels[-1] length 1 = Total).
-    The per-level contributions fold pairwise as they are produced, so only
-    two M-sized point arrays are ever live (not log2(N) of them)."""
-    acc = None
-    for l, lev in enumerate(levels):
-        contrib = _fenwick_gather_level(ops, lev, p, l)
-        acc = contrib if acc is None else _point_add_jit(ops, acc, contrib)
-    return acc                                   # [M, (W), ...]
-
-
 @functools.partial(jax.jit, static_argnums=(0,))
 def _point_add_jit(ops, p, q):
-    return C.point_add(ops, p, q)
+    return _flat_add(ops, p, q)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -397,29 +403,112 @@ def _small_scalar_mul(ops, p, k: int):
     return acc
 
 
-def _msm_window(ops, pts, digits, c: int, src_cols: int | None = None):
+def _compact_window(ops, spts, keys, c: int):
+    """Compile-minimal window reduction for traced (shard_map) contexts:
+    the same sort/up-sweep/Fenwick math as _msm_window but with O(1)
+    group-law INSTANCES instead of O(log N + 2^c):
+
+    - the up-sweep runs as a lax.scan over levels with a FIXED [N/2, ...]
+      state (garbage tail rows beyond each level's valid prefix) — one
+      point-add instance for all levels;
+    - every Fenwick contribution (levels x boundaries) is gathered into one
+      stacked array and folded by ONE scanned point-add.
+
+    Arithmetic is ~log2(N)/2 x the tree formulation (each scan step
+    processes the full fixed-width state), which is irrelevant on the
+    XLA-CPU multichip gate where COMPILE time is the budget: the unrolled
+    formulation cost ~27 min of XLA-CPU compile for one prove module at
+    n=1024; this one compiles in ~1-2 min. The TPU single-chip path keeps
+    the work-optimal unrolled trees."""
+    n = keys.shape[0]
+    log_n = max(0, n.bit_length() - 1)
+    p = _boundary_positions(keys, 1 << c)             # [m(,W)]
+    sex0 = _fenwick_gather_level(ops, spts, p, 0)     # [m(,W), ...]
+    if log_n == 0:
+        total = tuple(a[0] for a in spts)
+        contribs = tuple(a for a in sex0)
+    else:
+        lvl1 = _pair_halve(ops, spts)                 # [n/2, ...]
+        half = n // 2
+        if log_n >= 2:
+            i2 = jnp.minimum(
+                jnp.arange(half, dtype=jnp.int32) * 2,
+                max(half - 2, 0),
+            )
+
+            def step(s, _):
+                a = tuple(jnp.take(x, i2, axis=0) for x in s)
+                b = tuple(jnp.take(x, i2 + 1, axis=0) for x in s)
+                return _flat_add(ops, a, b), s
+
+            final, ys = jax.lax.scan(step, lvl1, None, length=log_n - 1)
+            stacked = tuple(
+                jnp.concatenate([y, f[None]], axis=0)
+                for y, f in zip(ys, final)
+            )                                          # levels 1..log_n
+        else:
+            final = lvl1
+            stacked = tuple(f[None] for f in lvl1)
+        total = tuple(a[0] for a in final)
+        # batched Fenwick gather over all levels at once
+        ls = jnp.arange(1, log_n + 1, dtype=jnp.uint32)
+        pl = p[None] >> ls.reshape((log_n,) + (1,) * p.ndim)  # [L, m(,W)]
+        bit = pl & jnp.uint32(1)
+        idx = (jnp.maximum(pl, jnp.uint32(1)) - jnp.uint32(1)).astype(
+            jnp.int32
+        )
+        g = []
+        for a in stacked:
+            ix = idx.reshape(idx.shape + (1,) * (a.ndim - idx.ndim))
+            g.append(jnp.take_along_axis(a, ix, axis=1))
+        g = tuple(g)
+        inf = C.infinity_like(ops, g)
+        lvl_contribs = C.select_point(ops, bit == 1, g, inf)
+        contribs = tuple(
+            jnp.concatenate(
+                [s0[None], lc], axis=0
+            ).reshape((-1,) + s0.shape[1:])
+            for s0, lc in zip(sex0, lvl_contribs)
+        )                                              # [(L+1)*m, (W), ...]
+    sum_sex = C.scan_fold(ops, contribs)               # [(W), ...]
+    wt = _small_scalar_mul(ops, total, (1 << c) - 1)
+    return _point_add_jit(ops, wt, C.point_neg(ops, sum_sex))
+
+
+def _msm_window(ops, pts, digits, c: int, src_cols: int | None = None,
+                compact: bool = False):
     """One Pippenger window group: sort by digit, up-sweep sum tree, Fenwick
     boundary reduction. digits uint32[N] -> point with no batch axis;
     digits uint32[N, M] -> points [M, ...]. With src_cols set, pts are the
     UNBROADCAST source stream ([N, ...] for src_cols == 1, [N, B, ...] for
-    B sources) and the sort gathers from it directly."""
+    B sources) and the sort gathers from it directly. compact=True selects
+    the O(1)-instance scan formulation (_compact_window) for traced
+    shard_map contexts."""
     if src_cols is not None:
         keys, spts = _sorted_stream(ops, pts, digits, src_cols)
     else:
         keys, spts = _sort_by_digit(ops, pts, digits)
+    if compact:
+        return _compact_window(ops, spts, keys, c)
     if _engine() == "merge":
         buckets = _segmented_bucket_sums(ops, spts, keys, c)
         return _weighted_bucket_sum(ops, buckets)
-    # up-sweep
-    levels = [spts]
+    # boundaries first (needs only the sorted keys), then the up-sweep with
+    # each level's Fenwick contribution folded in AS THE LEVEL IS PRODUCED —
+    # no levels list stays live, so peak memory is ~2 level arrays instead
+    # of the full 2x-stream level pyramid (the levels-list formulation blew
+    # the 16 GB HBM budget assignment at W=16 G2 window groups).
+    p = _boundary_positions(keys, 1 << c)        # [2^c-1, (W)]
+    sex = _fenwick_gather_level(ops, spts, p, 0)
     cur = spts
+    l = 0
     while cur[0].shape[0] > 1:
         cur = _pair_halve(ops, cur)
-        levels.append(cur)
-    total = tuple(a[0] for a in levels[-1])      # [(W), ...]
-    # boundaries + prefix queries
-    p = _boundary_positions(keys, 1 << c)        # [2^c-1, (W)]
-    sex = _fenwick_prefix(ops, levels, p)        # [2^c-1, (W), ...]
+        l += 1
+        sex = _point_add_jit(
+            ops, sex, _fenwick_gather_level(ops, cur, p, l)
+        )
+    total = tuple(a[0] for a in cur)             # [(W), ...]
     sex = C.pad_to_pow2(ops, sex)
     while sex[0].shape[0] > 1:                   # reduce the k axis
         sex = _half_fold(ops, sex)
@@ -582,7 +671,7 @@ def msm_pippenger_traced(ops, pts, scalars, nbits: int, c: int,
     for lo in range(0, n_windows, wc):
         hi = min(lo + wc, n_windows)
         digits = _window_digits_group(scalars, c, lo, hi)   # [N, W]
-        partials.append(_msm_window(ops, pts, digits, c, 1))
+        partials.append(_msm_window(ops, pts, digits, c, 0, compact=True))
     stacked = tuple(
         jnp.concatenate([p[i] for p in partials], axis=0) for i in range(3)
     )
@@ -606,7 +695,7 @@ def msm_pippenger_many_traced(ops, pts, scalars, nbits: int, c: int,
         w = hi - lo
         digits = _window_digits_cols(scal_t, c, lo, hi)
         dig_flat = digits.reshape(n, b * w)
-        grp = _msm_window(ops, pts_t, dig_flat, c, b)
+        grp = _msm_window(ops, pts_t, dig_flat, c, b, compact=True)
         partials.append(tuple(x.reshape((b, w) + x.shape[1:]) for x in grp))
     stacked = tuple(
         jnp.concatenate([p[i] for p in partials], axis=1) for i in range(3)
@@ -622,8 +711,10 @@ def _auto_window_chunk(n: int, n_windows: int, struct_elems: int) -> int:
     compiles to the SAME executable shape."""
     import os
 
-    cap = int(os.environ.get("ZKT_MSM_MEM_BYTES", int(2.5 * (1 << 30))))
-    per_window = n * struct_elems * 4 * 2  # gathered copy + scratch
+    cap = int(os.environ.get("ZKT_MSM_MEM_BYTES", 6 << 30))
+    # live set per pass ~ 3x one W-wide sorted stream (sorted copy + two
+    # up-sweep level arrays; the Fenwick fold frees levels as it goes)
+    per_window = n * struct_elems * 4 * 3
     raw = max(1, min(n_windows, cap // max(per_window, 1)))
     for d in range(raw, 0, -1):
         if n_windows % d == 0:
@@ -676,11 +767,11 @@ def msm_pippenger(ops, pts, scalars, nbits: int, c: int | None = None,
         if len(ws) == 1:
             digits = _window_digits(scalars, c, ws[0])
             partials.append(
-                tuple(x[None] for x in win_fn(ops, pts, digits, c, 1))
+                tuple(x[None] for x in win_fn(ops, pts, digits, c, 0))
             )
         else:
             digits = _window_digits_group(scalars, c, ws[0], ws[-1] + 1)  # [N, W]
-            group = win_fn(ops, pts, digits, c, 1)  # tuple of [W, ...]
+            group = win_fn(ops, pts, digits, c, 0)  # tuple of [W, ...]
             partials.append(group)
     stacked = tuple(
         jnp.concatenate([p[i] for p in partials], axis=0) for i in range(3)

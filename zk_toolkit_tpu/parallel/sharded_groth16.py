@@ -20,8 +20,13 @@ upgrades the heavy modules to production kernels:
      VERDICT r4 named); `_h_from_evs_jit` remains as the small-n fallback
   3. `_local_msm_g1_jit`  shard_map, NO collectives — the five local MSM
      segments stacked as a batch axis through ONE traced Pippenger pass
-     (ops/msm.py msm_pippenger_many_traced; replaces the 256-step
-     double-and-add scan, ~16x the point work)
+     (replaces the 256-step double-and-add scan, ~16x the point work).
+     shard_map (manual SPMD) is load-bearing here: the placement-sharded
+     variant left the partitioner to propagate shardings through the eager
+     sort/gather stages and it chose replication — module 3 ran for >25
+     minutes at n=1024 on the virtual mesh. Compile cost is bounded by the
+     rank-2 flattening in ops/msm.py (_flat_add): ~8 s per group-law
+     instance instead of ~150 s on rank-3 operands.
   4. `_local_msm_g2_jit`  shard_map, NO collectives — G2 Pippenger
   5. `_combine_jit`       shard_map, 2 all_gathers — gather per-device
      partials, fold over the device axis with a scanned add (works for ANY
@@ -134,81 +139,89 @@ def _h_from_evs_jit(n_pad, evs):
     return L.from_mont(h_mont, _fr_spec())
 
 
-# -- modules 3/4: local Pippenger MSMs (placement-sharded, no collectives) ---
-#
-# The five G1 segments [U | wit | xt | s*U | r*V] become a [5*D, n_max]
-# batched MSM whose batch axis is device-sharded in D chunks of 5 rows:
-# msm_pippenger_many's every stage is elementwise along the batch axis, so
-# XLA partitions every executable collective-free (the same local phase as
-# sharded_msm_explicit, HLO-asserted in tests/test_parallel.py), and the
-# work runs through the SAME small shared per-stage executables as the
-# single-chip MSM — no giant shard_map module for XLA-CPU to choke on.
-# (Round-5 history: a fused jit(shard_map(traced-Pippenger)) module took
-# >15 min of XLA-CPU compile at n=1024 — the round-3 mega-module failure
-# all over again. This formulation compiles in the same time as the
-# single-device path.) Replaces the round-4 256-step double-and-add scan
-# (~16x the point work; VERDICT r4 missing item 3).
+# -- module 3: local G1 Pippenger MSMs (no collectives) ----------------------
 
-def _pad_rows(arrs, ln, n_max, fill):
-    """Pad [D, ln, ...] device-major segment arrays to [D, n_max, ...]."""
-    if ln == n_max:
-        return arrs
-    def pad(a, f):
-        tail = jnp.broadcast_to(f, (a.shape[0], n_max - ln) + a.shape[2:])
-        return jnp.concatenate([a, tail], axis=1)
-    if isinstance(arrs, tuple):
-        return tuple(pad(a, f) for a, f in zip(arrs, fill))
-    return pad(arrs, fill)
-
-
-def _local_msm_g1(mesh, axis, segs, c, g1_u, g1_wit, g1_xt, g1_v,
-                  u_scal, wit_scal, h_plain, su_scal, rv_scal):
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "axis", "segs", "c", "wc"))
+def _local_msm_g1_jit(mesh, axis, segs, c, wc, g1_u, g1_wit, g1_xt, g1_v,
+                      u_scal, wit_scal, h_plain, su_scal, rv_scal):
+    """The five local MSM segments [U | wit | xt | s*U | r*V] stacked as a
+    batch axis and run through ONE traced Pippenger pass (the same
+    collective-free local phase as sharded_msm_explicit; HLO-asserted in
+    tests/test_parallel.py). Replaces the round-4 256-step double-and-add
+    scan + sequential segmented accumulator, which did ~16x the point work
+    and was the reason the sharded prove had no at-scale evidence
+    (VERDICT r4 missing item 3)."""
     from zk_toolkit_tpu.ops import msm as M
-    from zk_toolkit_tpu.parallel.mesh import shard_leading
 
     fq = _fq()
-    d = mesh.shape[axis]
+    shp = lambda a: P(axis, *([None] * (a.ndim - 1)))
+    tshp = lambda t: tuple(shp(x) for x in t)
     n_max = max(segs)
-    inf = C.infinity_like(fq, tuple(a[:1, None] for a in g1_u))
-    zero_s = jnp.zeros((1, 1) + u_scal.shape[1:], u_scal.dtype)
 
-    seg_pts = (g1_u, g1_wit, g1_xt, g1_u, g1_v)
-    seg_scal = (u_scal, wit_scal, h_plain, su_scal, rv_scal)
-    pts_rows = []   # per segment: tuple of [D, n_max, ...]
-    scal_rows = []
-    for t, s_, ln in zip(seg_pts, seg_scal, segs):
-        dev = tuple(a.reshape((d, ln) + a.shape[1:]) for a in t)
-        pts_rows.append(_pad_rows(dev, ln, n_max, tuple(x[0] for x in inf)))
-        sdev = s_.reshape((d, ln) + s_.shape[1:])
-        scal_rows.append(_pad_rows(sdev, ln, n_max, zero_s[0]))
-    # interleave to [D, 5, n_max, ...] -> [5*D, n_max, ...], device-major
-    pts_b = tuple(
-        jnp.stack([p[i] for p in pts_rows], axis=1).reshape(
-            (5 * d, n_max) + pts_rows[0][i].shape[2:]
-        )
-        for i in range(3)
+    def local(g1_u, g1_wit, g1_xt, g1_v, u_scal, wit_scal, h_loc, su_scal,
+              rv_scal):
+        seg_pts = (g1_u, g1_wit, g1_xt, g1_u, g1_v)
+        seg_scal = (u_scal, wit_scal, h_loc, su_scal, rv_scal)
+        inf = C.infinity_like(fq, tuple(a[:1] for a in g1_u))
+        pts5 = []
+        for i in range(3):
+            rows = []
+            for t, ln in zip(seg_pts, segs):
+                a = t[i]
+                if ln < n_max:
+                    a = jnp.concatenate(
+                        [a, jnp.broadcast_to(inf[i],
+                                             (n_max - ln,) + a.shape[1:])],
+                        axis=0)
+                rows.append(a)
+            pts5.append(jnp.stack(rows, axis=0))         # [5, n_max, ...]
+        scal_rows = []
+        for s_, ln in zip(seg_scal, segs):
+            if ln < n_max:
+                s_ = jnp.concatenate(
+                    [s_, jnp.zeros((n_max - ln,) + s_.shape[1:], s_.dtype)],
+                    axis=0)
+            scal_rows.append(s_)
+        scal5 = jnp.stack(scal_rows, axis=0)             # [5, n_max, S]
+        return M.msm_pippenger_many_traced(
+            fq, tuple(pts5), scal5, FR_BITS, c, window_chunk=wc
+        )                                                # [5, ...]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(tshp(g1_u), tshp(g1_wit), tshp(g1_xt), tshp(g1_v),
+                  shp(u_scal), shp(wit_scal), shp(h_plain), shp(su_scal),
+                  shp(rv_scal)),
+        out_specs=tuple(P(axis, None) for _ in range(3)),
+        check_vma=False,
     )
-    scal_b = jnp.stack(scal_rows, axis=1).reshape(
-        (5 * d, n_max) + scal_rows[0].shape[2:]
-    )
-    pts_b = shard_leading(mesh, pts_b, axis)
-    scal_b = shard_leading(mesh, scal_b, axis)
-    parts = M.msm_pippenger_many(fq, pts_b, scal_b, FR_BITS, c=c)
-    return parts    # [5*D, ...] == [(d, n_seg=5), ...] device-major
+    return fn(g1_u, g1_wit, g1_xt, g1_v, u_scal, wit_scal, h_plain, su_scal,
+              rv_scal)
 
 
-def _local_msm_g2(mesh, axis, c, g2_v, u_scal):
+# -- module 4: local G2 Pippenger MSM (no collectives) -----------------------
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "c", "wc"))
+def _local_msm_g2_jit(mesh, axis, c, wc, g2_v, u_scal):
     from zk_toolkit_tpu.ops import msm as M
-    from zk_toolkit_tpu.parallel.mesh import shard_leading
 
     po = PO.bls_pairing_ops()
-    d = mesh.shape[axis]
-    ln = g2_v[0].shape[0] // d
-    pts_b = tuple(a.reshape((d, ln) + a.shape[1:]) for a in g2_v)
-    scal_b = u_scal.reshape((d, ln) + u_scal.shape[1:])
-    pts_b = shard_leading(mesh, pts_b, axis)
-    scal_b = shard_leading(mesh, scal_b, axis)
-    return M.msm_pippenger_many(po.e2, pts_b, scal_b, FR_BITS, c=c)  # [D, ...]
+    shp = lambda a: P(axis, *([None] * (a.ndim - 1)))
+    tshp = lambda t: tuple(shp(x) for x in t)
+
+    def local(g2_v, u_scal):
+        part = M.msm_pippenger_traced(po.e2, g2_v, u_scal, FR_BITS, c,
+                                      window_chunk=wc)
+        return tuple(a[None] for a in part)              # [1, ...]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(tshp(g2_v), shp(u_scal)),
+        out_specs=tuple(P(axis, None, None) for _ in range(3)),
+        check_vma=False,
+    )
+    return fn(g2_v, u_scal)
 
 
 # -- module 5: gather partials, fold, assemble -------------------------------
@@ -385,6 +398,15 @@ def sharded_prove(mesh, mat, crs, wires, r: int, s: int, axis: str = "shard"):
     # below that the replicated ops/ntt.py path is cheaper than a d-way
     # four-step on toy domains.
     use_sharded_ntt = mat.n_pad >= d * d
+    import logging as _lg
+    import time as _time
+
+    _log = _lg.getLogger("zkt.sharded_prove")
+    _t0 = _time.time()
+
+    def _stage(msg):
+        _log.info("sharded_prove +%.1fs %s", _time.time() - _t0, msg)
+
     evs = _spmv_gather_jit(
         mesh, axis, not use_sharded_ntt,
         jnp.asarray(mat.a_idx), jnp.asarray(mat.a_val),
@@ -392,6 +414,8 @@ def sharded_prove(mesh, mat, crs, wires, r: int, s: int, axis: str = "shard"):
         jnp.asarray(mat.c_idx), jnp.asarray(mat.c_val),
         w_mont,
     )
+    jax.block_until_ready(evs)
+    _stage("module 1 (SpMV) done")
     if use_sharded_ntt:
         from zk_toolkit_tpu.parallel.sharded_ntt import sharded_h_from_evs
 
@@ -399,27 +423,34 @@ def sharded_prove(mesh, mat, crs, wires, r: int, s: int, axis: str = "shard"):
         h_plain = L.from_mont(h_mont, fr)
     else:
         h_plain = _h_from_evs_jit(mat.n_pad, evs)
+    jax.block_until_ready(h_plain)
+    _stage("module 2 (quotient NTT) done")
 
     # modules 3+4: local Pippenger MSMs (collective-free)
     from zk_toolkit_tpu.ops import msm as M
 
     c_g1 = M.default_window_bits(max(segs))
     c_g2 = M.default_window_bits(segs[0])
-    g1_parts = _local_msm_g1(
-        mesh, axis, segs, c_g1, crs.g1_u, g1_wit, g1_xt, crs.g1_v,
+    g1_parts = _local_msm_g1_jit(
+        mesh, axis, segs, c_g1, None, crs.g1_u, g1_wit, g1_xt, crs.g1_v,
         u_scal, wit_scal, h_plain, su_scal, rv_scal,
     )
-    g2_parts = _local_msm_g2(mesh, axis, c_g2, crs.g2_v, u_scal)
+    jax.block_until_ready(g1_parts)
+    _stage("module 3 (G1 local MSMs) done")
+    g2_parts = _local_msm_g2_jit(mesh, axis, c_g2, None, crs.g2_v,
+                                 u_scal)
     # Barrier before the collective module: bounds per-device queue skew so
     # no device reaches module 5's all_gather rendezvous >40 s before a
     # straggler (XLA-CPU aborts past that window — see sharded_msm.py).
     jax.block_until_ready((g1_parts, g2_parts))
+    _stage("module 4 (G2 local MSM) done")
 
     # module 5: gather + fold + assemble
     A, B2, Cp = _combine_jit(
         mesh, axis, d, len(segs), g1_parts, g2_parts,
         crs.g1_alpha, g1_rd, g1_k, crs.g2_beta, g2_sd,
     )
+    _stage("module 5 (combine) dispatched")
     a_aff = C.to_affine(fq, A)
     b_aff = C.to_affine(po.e2, B2)
     c_aff = C.to_affine(fq, Cp)

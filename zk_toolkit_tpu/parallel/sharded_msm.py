@@ -107,10 +107,36 @@ def _gather_fold_jit(mesh, axis, ops, parts):
     return fn(parts)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "ops", "nbits",
+                                             "c"))
+def _local_phase_jit(mesh, axis, ops, nbits, c, pts_r, scal_r):
+    """Phase 1 as ONE shard_map module (manual SPMD): each device runs the
+    compact traced Pippenger over its [1, n/D] slice — zero collectives by
+    construction (asserted over the compiled HLO in tests/test_parallel.py).
+    Manual SPMD is load-bearing: leaving the eager per-stage executables to
+    auto-SPMD propagation let the partitioner replicate the sort/gather
+    stages, which ran for tens of minutes at a few thousand points on the
+    virtual CPU mesh (round-5 dryrun finding)."""
+    shp = lambda a: P(axis, *([None] * (a.ndim - 1)))
+
+    def local(pts_r, scal_r):
+        return M.msm_pippenger_many_traced(ops, pts_r, scal_r, nbits, c)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(tuple(shp(a) for a in pts_r), shp(scal_r)),
+        out_specs=tuple(
+            P(axis, *([None] * (a.ndim - 2))) for a in pts_r
+        ),
+        check_vma=False,
+    )
+    return fn(pts_r, scal_r)
+
+
 def sharded_msm_explicit(ops, pts, scalars, nbits: int, mesh: Mesh,
                          axis: str = "shard", c: int | None = None):
     """Two-phase sharded Pippenger: collective-free per-device local MSMs
-    ([D, n/D] batched pass) + one D-point all_gather/fold. Returns a single
+    (shard_map compact pass) + one D-point all_gather/fold. Returns a single
     Jacobian point tuple (no batch axis)."""
     d = mesh.shape[axis]
     pts, scalars = _pad_to_multiple(ops, pts, scalars, d)
@@ -118,13 +144,11 @@ def sharded_msm_explicit(ops, pts, scalars, nbits: int, mesh: Mesh,
     pts_r = tuple(a.reshape((d, n // d) + a.shape[1:]) for a in pts)
     scal_r = scalars.reshape((d, n // d) + scalars.shape[1:])
     pts_r, scal_r = _place(mesh, axis, pts_r, scal_r)
-    parts = M.msm_pippenger_many(ops, pts_r, scal_r, nbits, c=c)  # [D, ...]
-    # Barrier before the collective module: phase 1 is a chain of many small
-    # async dispatches, and per-device queues drift apart — on XLA-CPU a
-    # device arriving at the all_gather rendezvous more than 40 s after the
-    # first aborts the process (rendezvous.cc termination; the true mechanism
-    # behind round 2's "6 of 8 arrived" deadlock). Syncing here bounds the
-    # skew to one module's execution variance. On real TPU collectives are
-    # hardware-sequenced and this is just one host sync per MSM.
+    c = c or M.default_window_bits(n // d)
+    parts = _local_phase_jit(mesh, axis, ops, nbits, c, pts_r, scal_r)
+    # Barrier before the collective module: bounds per-device queue skew so
+    # no device reaches the all_gather rendezvous >40 s before a straggler
+    # (XLA-CPU aborts past that window — rendezvous.cc termination, the
+    # true mechanism behind round 2's "6 of 8 arrived" deadlock).
     jax.block_until_ready(parts)
     return _gather_fold_jit(mesh, axis, ops, parts)
